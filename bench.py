@@ -1,0 +1,81 @@
+"""Benchmark: training throughput (rays/sec/chip) on the flagship config.
+
+Measures the reference's rays/sec definition — num_rays_per_modality x
+n_modalities / iter_time (reference src/engine/trainer.py:107-114) — for the
+`grid_raw` method (multiresolution hash-grid fields, raw mosaicked frames,
+5 modalities) on a synthetic scene, using the fused device-cached training
+loop. Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Baseline target: 2,000,000 rays/sec/chip on TPU v5e (BASELINE.md).
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+import jax
+
+
+def main():
+    from multimodalstudio_tpu.configs.methods import method_configs
+    from multimodalstudio_tpu.data.device_cache import build_device_cache
+    from multimodalstudio_tpu.data.synthetic import make_synthetic_dataset
+    from multimodalstudio_tpu.engine.train import init_train_state, make_fused_train_fn
+    from multimodalstudio_tpu.models.model import MMSModel
+
+    modalities = ("rgb", "infrared", "mono", "polarization", "multispectral")
+    n_rays = 2048  # reference training batch: 2048 rays/modality (BASELINE.md)
+    steps_per_call = 20
+
+    cfg = method_configs()["grid_raw"]
+    cfg = dataclasses.replace(
+        cfg,
+        modalities=modalities,
+        max_num_iterations=100000,
+        datamanager=dataclasses.replace(
+            cfg.datamanager, num_rays_per_modality=n_rays, microbatch_rays=512
+        ),
+    )
+
+    dataset = make_synthetic_dataset(modalities, num_views=10, height=256, width=256, raw=True)
+    cache = build_device_cache(dataset)
+    cameras = {m: dataset.data[m].cameras for m in modalities}
+
+    model = MMSModel(cfg.model)
+    state = init_train_state(
+        cfg, model, jax.random.key(0), {m: 10 for m in modalities}
+    )
+    fused = make_fused_train_fn(cfg, model, cameras, cache, steps_per_call)
+    rng = jax.random.key(1)
+
+    # warmup / compile
+    state, aux = fused(state, rng)
+    jax.block_until_ready(state.params["model"])
+
+    n_calls = 5
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, aux = fused(state, rng)
+    jax.block_until_ready(state.params["model"])
+    dt = time.perf_counter() - t0
+
+    steps = n_calls * steps_per_call
+    rays_per_step = n_rays * len(modalities)
+    rays_per_sec = steps * rays_per_step / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip (grid_raw, 5 modalities)",
+                "value": round(rays_per_sec),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / 2_000_000, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    main()

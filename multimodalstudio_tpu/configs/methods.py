@@ -1,0 +1,343 @@
+"""Method registry: the eight predefined pipelines of the reference.
+
+TPU-native counterpart of reference src/configs/method_configs.py:59-445.
+Variants are built with dataclasses.replace instead of deepcopy + mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+from multimodalstudio_tpu.cameras.camera_optimizer import CameraOptimizerSpec
+from multimodalstudio_tpu.configs.config import (
+    DataManagerSpec,
+    EvaluatorSpec,
+    OptimizerSpec,
+    TrainerConfig,
+)
+from multimodalstudio_tpu.engine.losses import (
+    GeometryLossSpec,
+    LossManagerSpec,
+    RadianceLossSpec,
+)
+from multimodalstudio_tpu.engine.schedules import CurvatureWarmupSpec, MultiStepWarmupSpec
+from multimodalstudio_tpu.fields.components import FeatureGridSpec
+from multimodalstudio_tpu.fields.fields import (
+    FieldComponentSpec,
+    NeRFEncodingSpec,
+    NeRFFieldSpec,
+    RadianceFieldSpec,
+    SDFFieldSpec,
+)
+from multimodalstudio_tpu.fields.mlp import MLPSpec
+from multimodalstudio_tpu.models.model import (
+    BackgroundModelSpec,
+    HeadSpec,
+    ModelSpec,
+    RadianceModelSpec,
+    SurfaceModelSpec,
+)
+from multimodalstudio_tpu.models.samplers import NeuSSamplerSpec, SpacedSamplerSpec
+from multimodalstudio_tpu.ops.encodings import HashGridSpec
+
+FIVE_MODALITIES = ("rgb", "infrared", "mono", "polarization", "multispectral")
+
+MODALITY_CHANNELS = {
+    "rgb": 3,
+    "infrared": 1,
+    "mono": 1,
+    "polarization": 4,
+    "multispectral": 9,
+}
+
+
+def _standard_heads():
+    """Per-modality heads (reference method_configs.py:145-186): 3x64 sigmoid
+    MLPs; polarization uses a 3x256 linear head through Mueller optics."""
+    head = HeadSpec(
+        mlp=MLPSpec(num_layers=3, hidden_dim=64, out_activation="Sigmoid", weight_norm=True)
+    )
+    pol = HeadSpec(
+        mlp=MLPSpec(num_layers=3, hidden_dim=256, out_activation="None", weight_norm=True),
+        polarization=True,
+    )
+    return (
+        ("rgb", head),
+        ("infrared", head),
+        ("mono", head),
+        ("polarization", pol),
+        ("multispectral", head),
+    )
+
+
+def _grid_field(max_res: int = 1024, radius: float = 1.0) -> FeatureGridSpec:
+    return FeatureGridSpec(
+        encoding=HashGridSpec(max_res=max_res),
+        coarse_to_fine=True,
+        radius=radius,
+    )
+
+
+def _grid_config(modalities=FIVE_MODALITIES) -> TrainerConfig:
+    """`grid` (reference method_configs.py:63-300): hash-grid surface and
+    radiance fields, numerical gradients + hessian, curvature loss."""
+    modality_pairs = tuple((m, MODALITY_CHANNELS[m]) for m in modalities)
+
+    surface = SurfaceModelSpec(
+        surface_field=SDFFieldSpec(
+            field=FieldComponentSpec(
+                mlp=MLPSpec(
+                    num_layers=3,
+                    hidden_dim=128,
+                    activation="Softplus",
+                    activation_beta=100.0,
+                    out_activation="None",
+                    geometric_init=True,
+                    weight_norm=True,
+                ),
+                grid=_grid_field(),
+            ),
+            use_position_encoding=True,
+            position_encoding=NeRFEncodingSpec(6, 0.0, 5.0, True),
+        ),
+        use_numerical_gradients=True,
+        numerical_gradient_taps=4,
+        compute_hessian=True,
+    )
+
+    radiance = RadianceModelSpec(
+        radiance_field=RadianceFieldSpec(
+            base_field=FieldComponentSpec(
+                mlp=MLPSpec(
+                    num_layers=3, hidden_dim=256, out_activation="ReLU", weight_norm=True
+                ),
+                grid=_grid_field(),
+            )
+        ),
+        use_direction_encoding=True,
+        sh_degree=4,
+        use_reflection_direction=True,
+        use_n_dot_v=True,
+        radiance_feature_dim=256,
+    )
+
+    background = BackgroundModelSpec(
+        field=NeRFFieldSpec(
+            base_field=FieldComponentSpec(
+                mlp=MLPSpec(
+                    num_layers=4,
+                    hidden_dim=256,
+                    activation="ReLU",
+                    out_activation="ReLU",
+                    weight_norm=True,
+                )
+            ),
+            base_output_dim=256,
+            head_field=MLPSpec(num_layers=4, hidden_dim=128, out_activation="ReLU"),
+            use_position_encoding=True,
+            position_encoding=NeRFEncodingSpec(6, 0.0, 5.0, True),
+            use_direction_encoding=True,
+            direction_encoding=NeRFEncodingSpec(4, 0.0, 3.0, True),
+        ),
+        radiance_feature_dim=128,
+        contraction_order=float("inf"),
+    )
+
+    model = ModelSpec(
+        modalities=modality_pairs,
+        heads=_standard_heads(),
+        ray_sampler=NeuSSamplerSpec(num_samples=32, num_samples_importance=32),
+        background_ray_sampler=SpacedSamplerSpec(num_samples=16, spacing="lin_disparity"),
+        surface=surface,
+        radiance=radiance,
+        background=background,
+        use_background=True,
+    )
+
+    losses = LossManagerSpec(
+        radiance_losses=(
+            ("rgb", RadianceLossSpec()),
+            ("mono", RadianceLossSpec()),
+            ("multispectral", RadianceLossSpec()),
+            ("infrared", RadianceLossSpec()),
+            ("polarization", RadianceLossSpec(saturation_threshold=0.9980)),
+        ),
+        geometry=GeometryLossSpec(
+            eikonal_loss="MSE",
+            eikonal_weight=0.1,
+            curvature_loss="L1",
+            curvature_weight=5e-4,
+            curvature_scheduler=CurvatureWarmupSpec(warm_up_ratio=0.1),
+        ),
+    )
+
+    return TrainerConfig(
+        method_name="grid",
+        max_num_iterations=100000,
+        steps_per_eval_batch=100,
+        steps_per_eval_image=1000,
+        steps_per_eval_all_images=25000,
+        steps_per_export_mesh=5000,
+        steps_per_export_poses=5000,
+        steps_per_save=5000,
+        mixed_precision=False,
+        matmul_precision="high",
+        modalities=tuple(modalities),
+        datamanager=DataManagerSpec(
+            dataset_kind="aligned",
+            raw=False,
+            num_rays_per_modality=32,
+            camera_optimizer=CameraOptimizerSpec(mode="off"),
+        ),
+        model=model,
+        loss_manager=losses,
+        optimizers=(
+            (
+                "fields",
+                OptimizerSpec(
+                    optimizer="adamw",
+                    lr=1e-3,
+                    weight_decay=0.01,
+                    eps=1e-15,
+                    scheduler=MultiStepWarmupSpec(0.1, (0.5, 0.75, 0.9), 0.4),
+                ),
+            ),
+            (
+                "camera_poses",
+                OptimizerSpec(
+                    optimizer="adamw",
+                    lr=1e-4,
+                    weight_decay=0.01,
+                    eps=1e-15,
+                    scheduler=MultiStepWarmupSpec(0.1, (0.5, 0.75, 0.9), 0.4),
+                ),
+            ),
+        ),
+        evaluator=EvaluatorSpec(eval_num_rays_per_chunk=1024, rendering_scale=0.25),
+    )
+
+
+def _mlp_config() -> TrainerConfig:
+    """`mlp` (reference method_configs.py:304-356): 8x256 MLP fields with
+    skip connections, autograd gradients, no curvature loss."""
+    base = _grid_config()
+    surface = SurfaceModelSpec(
+        surface_field=SDFFieldSpec(
+            field=FieldComponentSpec(
+                mlp=MLPSpec(
+                    num_layers=8,
+                    hidden_dim=256,
+                    activation="Softplus",
+                    activation_beta=100.0,
+                    out_activation="None",
+                    skip_connections=(4,),
+                    geometric_init=True,
+                    weight_norm=True,
+                ),
+                grid=None,
+            ),
+            use_position_encoding=True,
+            position_encoding=NeRFEncodingSpec(6, 0.0, 5.0, True),
+        ),
+        use_numerical_gradients=False,
+        compute_hessian=False,
+    )
+    radiance = dataclasses.replace(
+        base.model.radiance,
+        radiance_field=RadianceFieldSpec(
+            base_field=FieldComponentSpec(
+                mlp=MLPSpec(
+                    num_layers=8,
+                    hidden_dim=256,
+                    activation="ReLU",
+                    out_activation="ReLU",
+                    skip_connections=(4,),
+                    weight_norm=True,
+                ),
+                grid=None,
+            )
+        ),
+    )
+    model = dataclasses.replace(base.model, surface=surface, radiance=radiance)
+    losses = dataclasses.replace(
+        base.loss_manager,
+        geometry=GeometryLossSpec(eikonal_loss="MSE", eikonal_weight=0.1, curvature_loss=None),
+    )
+    return dataclasses.replace(base, method_name="mlp", model=model, loss_manager=losses)
+
+
+def _raw(config: TrainerConfig, name: str) -> TrainerConfig:
+    """Raw (mosaicked) pipeline variant (reference method_configs.py:360-400)."""
+    return dataclasses.replace(
+        config,
+        method_name=name,
+        datamanager=dataclasses.replace(config.datamanager, raw=True),
+    )
+
+
+def _unbalanced(config: TrainerConfig, name: str) -> TrainerConfig:
+    return dataclasses.replace(
+        config,
+        method_name=name,
+        datamanager=dataclasses.replace(config.datamanager, dataset_kind="unaligned"),
+    )
+
+
+def _grid_decimated() -> TrainerConfig:
+    """`grid_decimated` (reference method_configs.py:414-424)."""
+    base = _grid_config()
+    losses = dataclasses.replace(
+        base.loss_manager,
+        radiance_losses=(
+            ("rgb", RadianceLossSpec(per_channel_probability=(0.25, 0.5, 0.25))),
+            ("mono", RadianceLossSpec()),
+            ("multispectral", RadianceLossSpec(per_channel_probability=(0.1111,) * 9)),
+            ("infrared", RadianceLossSpec()),
+            (
+                "polarization",
+                RadianceLossSpec(
+                    saturation_threshold=0.9980,
+                    per_channel_probability=(0.25, 0.25, 0.25, 0.25),
+                ),
+            ),
+        ),
+    )
+    return dataclasses.replace(base, method_name="grid_decimated", loss_manager=losses)
+
+
+def _grid_raw_grid_bg_unbalanced() -> TrainerConfig:
+    """Hash-grid background variant (reference method_configs.py:428-445)."""
+    base = _unbalanced(_raw(_grid_config(), "grid_raw"), "grid_raw_unbalanced")
+    background = BackgroundModelSpec(
+        field=NeRFFieldSpec(
+            base_field=FieldComponentSpec(
+                mlp=MLPSpec(num_layers=3, hidden_dim=128, out_activation="ReLU"),
+                grid=_grid_field(radius=2.0),
+            ),
+            base_output_dim=256,
+            head_field=MLPSpec(num_layers=4, hidden_dim=128, out_activation="ReLU"),
+            use_position_encoding=False,
+            use_direction_encoding=True,
+            direction_encoding=NeRFEncodingSpec(4, 0.0, 3.0, True),
+        ),
+        radiance_feature_dim=256,
+        contraction_order=float("inf"),
+    )
+    model = dataclasses.replace(base.model, background=background)
+    return dataclasses.replace(base, method_name="grid_raw_grid_bg_unbalanced", model=model)
+
+
+def method_configs() -> Dict[str, TrainerConfig]:
+    grid = _grid_config()
+    mlp = _mlp_config()
+    return {
+        "grid": grid,
+        "mlp": mlp,
+        "grid_raw": _raw(grid, "grid_raw"),
+        "mlp_raw": _raw(mlp, "mlp_raw"),
+        "grid_unbalanced": _unbalanced(grid, "grid_unbalanced"),
+        "grid_raw_unbalanced": _unbalanced(_raw(grid, "grid_raw"), "grid_raw_unbalanced"),
+        "grid_decimated": _grid_decimated(),
+        "grid_raw_grid_bg_unbalanced": _grid_raw_grid_bg_unbalanced(),
+    }

@@ -1,0 +1,336 @@
+"""Evaluator: chunked full-view rendering, metrics, image/mesh/pose export.
+
+TPU-native counterpart of reference src/engine/evaluator.py +
+src/utils/eval_utils.py. Full frames render through a single jitted
+fixed-size chunk function (padded tail chunk — no ragged shapes), stitched on
+host. Aligned renderings (every modality head along one modality's rays),
+normal/depth maps, accumulation, DoP/AoP for polarization, ROI-masked
+PSNR/SSIM, 16-bit exports and a prepend-newest results.txt mirror the
+reference's behavior; the raw evaluator additionally mosaicks renderings
+through the (cross-)modality mosaick masks.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodalstudio_tpu.configs.config import TrainerConfig
+from multimodalstudio_tpu.data.dataset import MMSDataset
+from multimodalstudio_tpu.data.sampler import PixelBatch, dense_pixel_batch
+from multimodalstudio_tpu.engine.train import TrainState, build_rays, make_schedules
+from multimodalstudio_tpu.models.model import MMSModel
+from multimodalstudio_tpu.ops import polarization as pol
+from multimodalstudio_tpu.ops.math import psnr as psnr_fn
+from multimodalstudio_tpu.ops.math import ssim as ssim_fn
+
+
+class Evaluator:
+    """Renders eval views and computes metrics (reference evaluator.py:61+)."""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        model: MMSModel,
+        train_dataset: MMSDataset,
+        eval_dataset: MMSDataset,
+        output_dir: Optional[str] = None,
+    ):
+        self.config = config
+        self.model = model
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.output_dir = output_dir
+        self._chunk_fns: Dict[str, callable] = {}
+
+    # ------------------------------------------------------------- chunk fn
+    def _chunk_fn(self, mod: str, cameras):
+        """Jitted fixed-size aligned render of one modality's rays."""
+        if mod in self._chunk_fns:
+            return self._chunk_fns[mod]
+        config = self.config
+        model = self.model
+
+        def render_chunk(state_params, step, camera_indices, pixel_coords):
+            from multimodalstudio_tpu.cameras.camera_optimizer import camera_opt_transform
+            from multimodalstudio_tpu.cameras.cameras import generate_rays
+
+            schedules = make_schedules(config, step)
+            opt = camera_opt_transform(
+                config.datamanager.camera_optimizer,
+                state_params["camera_poses"],
+                mod,
+                camera_indices,
+            )
+            rays = generate_rays(cameras, camera_indices, pixel_coords, opt)
+            n = camera_indices.shape[0]
+            return model.forward(
+                state_params["model"],
+                rays,
+                ((mod, n),),
+                schedules,
+                None,
+                train=False,
+                aligned=True,
+            )
+
+        fn = jax.jit(render_chunk)
+        self._chunk_fns[mod] = fn
+        return fn
+
+    # --------------------------------------------------------------- render
+    def render_rays(
+        self, state: TrainState, mod: str, batch: PixelBatch, cameras
+    ) -> Dict[str, np.ndarray]:
+        """Chunked no-grad rendering of an arbitrary ray list
+        (reference eval_utils.py:31-75)."""
+        chunk = self.config.evaluator.eval_num_rays_per_chunk
+        n = batch.camera_indices.shape[0]
+        n_pad = (-n) % chunk
+        idx = jnp.concatenate([batch.camera_indices, batch.camera_indices[:1].repeat(n_pad)])
+        coords = jnp.concatenate([batch.pixel_coords, batch.pixel_coords[:1].repeat(n_pad, 0)])
+        fn = self._chunk_fn(mod, cameras)
+
+        outs = []
+        for i in range(0, n + n_pad, chunk):
+            out = fn(state.params, state.step, idx[i : i + chunk], coords[i : i + chunk])
+            outs.append(jax.tree.map(np.asarray, out))
+        stitched = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0)[:n], *outs)
+        return stitched
+
+    def render_view(
+        self, state: TrainState, dataset: MMSDataset, mod: str, frame_index: int
+    ) -> Dict[str, np.ndarray]:
+        """Render one full view at rendering_scale; returns per-key [H, W, C]
+        frames (reference render_outputs, eval_utils.py:77-178)."""
+        scale = self.config.evaluator.rendering_scale
+        d = dataset.data[mod]
+        batch = dense_pixel_batch(dataset, mod, frame_index, scale)
+        h = int(d.cameras.height * scale)
+        w = int(d.cameras.width * scale)
+        flat = self.render_rays(state, mod, batch, d.cameras)
+
+        frames = {}
+        for key, val in flat.items():
+            if key in ("gradients", "hessians", "inv_s", "mask"):
+                continue
+            frames[key] = np.asarray(val).reshape(h, w, -1)
+        frames["gt"] = np.asarray(batch.pixels).reshape(h, w, -1)
+        frames["mosaick_channel"] = np.asarray(batch.mosaick_channel).reshape(h, w)
+
+        if "polarization" in frames and frames["polarization"].shape[-1] == 4:
+            p = jnp.asarray(frames["polarization"])
+            frames["dop"] = np.asarray(pol.to_dop(data=p))[..., None]
+            frames["aop"] = np.asarray(pol.to_aop(data=p) / np.pi)[..., None]
+        return frames
+
+    # -------------------------------------------------------------- metrics
+    def view_metrics(self, frames: Dict[str, np.ndarray], mod: str) -> Dict[str, float]:
+        """ROI-masked PSNR/SSIM (mask = accumulation > threshold,
+        reference evaluator.py:189-195, 431-440)."""
+        pred = frames[mod]
+        gt = frames["gt"]
+        if self.config.datamanager.raw and gt.shape[-1] == 1 and pred.shape[-1] > 1:
+            chan = frames["mosaick_channel"][..., None].astype(np.int64)
+            pred = np.take_along_axis(pred, chan, axis=-1)
+        mask = None
+        if self.config.evaluator.roi_only:
+            mask = (
+                frames["accumulation"][..., 0]
+                > self.config.evaluator.accumulation_mask_threshold
+            ).astype(np.float32)[..., None]
+        p = jnp.asarray(pred)
+        g = jnp.asarray(gt)
+        m = jnp.asarray(mask) if mask is not None else None
+        out = {
+            "psnr": float(psnr_fn(p * m, g * m) if m is not None else psnr_fn(p, g)),
+            "ssim": float(ssim_fn(p * m if m is not None else p, g * m if m is not None else g)),
+        }
+        if m is not None:
+            # masked psnr normalized by masked pixel count (reference protocol)
+            err = ((p - g) ** 2) * m
+            mse = jnp.sum(err) / jnp.maximum(jnp.sum(m) * p.shape[-1], 1.0)
+            out["psnr"] = float(-10.0 * jnp.log10(jnp.maximum(mse, 1e-12)))
+        return out
+
+    # ------------------------------------------------------------ full eval
+    def render_all_eval_views(self, state: TrainState) -> Dict[str, Dict[str, float]]:
+        """Render + score every eval view of every modality
+        (reference evaluator.py:283-316)."""
+        results: Dict[str, Dict[str, float]] = {}
+        for mod in self.eval_dataset.modalities:
+            vals = []
+            for fi in range(self.eval_dataset.num_frames(mod)):
+                frames = self.render_view(state, self.eval_dataset, mod, fi)
+                vals.append(self.view_metrics(frames, mod))
+                if self.output_dir is not None:
+                    self.export_view(frames, mod, fi, int(state.step))
+            results[mod] = {
+                k: float(np.mean([v[k] for v in vals])) for k in vals[0]
+            } if vals else {}
+        if self.output_dir is not None:
+            self.export_metrics(results, int(state.step))
+        return results
+
+    def render_single_view(
+        self, state: TrainState, mod: str, frame_index: int, split: str = "eval"
+    ):
+        ds = self.eval_dataset if split == "eval" else self.train_dataset
+        return self.render_view(state, ds, mod, frame_index)
+
+    # -------------------------------------------------------------- exports
+    def export_view(
+        self, frames: Dict[str, np.ndarray], mod: str, frame_index: int, step: int
+    ):
+        """16-bit PNG + combined [render|GT|diff] sheet
+        (reference eval_utils.py:180-323)."""
+        import cv2
+
+        out_dir = os.path.join(self.output_dir, "renders", f"step-{step:09d}", mod)
+        os.makedirs(out_dir, exist_ok=True)
+
+        def to16(img):
+            return (np.clip(img, 0.0, 1.0) * 65535.0).astype(np.uint16)
+
+        pred = frames[mod]
+        gt = frames["gt"]
+        if gt.shape[-1] != pred.shape[-1]:
+            chan = frames["mosaick_channel"][..., None].astype(np.int64)
+            pred_cmp = np.take_along_axis(pred, chan, axis=-1)
+        else:
+            pred_cmp = pred
+        diff = np.abs(pred_cmp - gt)
+        sheet = np.concatenate([pred_cmp, gt, diff], axis=1)
+        if sheet.shape[-1] not in (1, 3):
+            sheet = sheet.mean(axis=-1, keepdims=True)
+        cv2.imwrite(os.path.join(out_dir, f"{frame_index:04d}_sheet.png"), to16(sheet))
+        np.save(os.path.join(out_dir, f"{frame_index:04d}_render.npy"), pred)
+        for extra in ("normals", "depth", "accumulation", "dop", "aop"):
+            if extra in frames:
+                img = frames[extra]
+                if extra == "normals":
+                    img = (img + 1.0) / 2.0
+                elif extra == "depth":
+                    rng = img.max() - img.min()
+                    img = (img - img.min()) / (rng + 1e-8)
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{frame_index:04d}_{extra}.png"), to16(img)
+                )
+
+    def export_metrics(self, results: Dict[str, Dict[str, float]], step: int):
+        """Prepend-newest results.txt (reference evaluator.py:442-475)."""
+        path = os.path.join(self.output_dir, "results.txt")
+        lines = [f"step {step} @ {time.strftime('%Y-%m-%d %H:%M:%S')}"]
+        for mod, vals in results.items():
+            metrics = "  ".join(f"{k}={v:.4f}" for k, v in vals.items())
+            lines.append(f"  {mod}: {metrics}")
+        new_block = "\n".join(lines) + "\n\n"
+        old = ""
+        if os.path.exists(path):
+            with open(path) as f:
+                old = f.read()
+        with open(path, "w") as f:
+            f.write(new_block + old)
+
+    # ------------------------------------------------------- mesh and poses
+    def export_mesh(self, state: TrainState, step: int) -> Optional[str]:
+        """Marching-cubes surface from the SDF (reference
+        evaluator.py:502-510, marching_cubes.py:34-188)."""
+        from multimodalstudio_tpu.engine.mesh import extract_mesh
+
+        if self.output_dir is None:
+            return None
+        out = os.path.join(self.output_dir, "meshes")
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(out, f"step-{step:09d}.ply")
+        schedules = make_schedules(self.config, state.step)
+        radius = self.config.model.scene_radius
+
+        def sdf_fn(pts):
+            return self.model.sdf_only(
+                state.params["model"], jnp.asarray(pts), schedules.active_level
+            )
+
+        verts, faces = extract_mesh(
+            sdf_fn,
+            resolution=self.config.evaluator.mesh_resolution,
+            bounds=(-radius, radius),
+            threshold=self.config.evaluator.marching_cube_threshold,
+        )
+        if self.config.evaluator.gt_scale and verts.size:
+            w2gt = self.train_dataset.worldtogt
+            verts = verts @ w2gt[:3, :3].T + w2gt[:3, 3]
+        from multimodalstudio_tpu.utils.meshio import write_ply_mesh
+
+        write_ply_mesh(path, verts, faces)
+        return path
+
+    def export_poses(self, state: TrainState, step: int) -> Optional[str]:
+        """Optimizer-corrected camera centers as a colored PLY cloud
+        (reference pose_extractor.py:78-110)."""
+        from multimodalstudio_tpu.cameras.camera_optimizer import camera_opt_transform
+        from multimodalstudio_tpu.ops.lie_groups import pose_multiply
+        from multimodalstudio_tpu.utils.meshio import write_ply_points
+
+        if self.output_dir is None:
+            return None
+        colors = {
+            "rgb": (0, 255, 0),
+            "infrared": (255, 0, 0),
+            "multispectral": (0, 0, 255),
+            "mono": (0, 0, 0),
+            "polarization": (255, 0, 255),
+        }
+        pts, cols = [], []
+        for mod in self.train_dataset.modalities:
+            cams = self.train_dataset.data[mod].cameras
+            n = cams.num_cameras
+            idx = jnp.arange(n)
+            opt = camera_opt_transform(
+                self.config.datamanager.camera_optimizer,
+                state.params["camera_poses"],
+                mod,
+                idx,
+            )
+            c2w = cams.camera_to_worlds
+            if opt is not None:
+                c2w = pose_multiply(c2w, opt)
+            centers = np.asarray(c2w[..., :3, 3])
+            if self.config.evaluator.gt_scale:
+                w2gt = self.train_dataset.worldtogt
+                centers = centers @ w2gt[:3, :3].T + w2gt[:3, 3]
+            pts.append(centers)
+            cols.append(np.tile(colors.get(mod, (128, 128, 128)), (n, 1)))
+        out = os.path.join(self.output_dir, "poses")
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(out, f"step-{step:09d}.ply")
+        write_ply_points(path, np.concatenate(pts), np.concatenate(cols).astype(np.uint8))
+        return path
+
+
+class RawEvaluator(Evaluator):
+    """Adds mosaicked-rendering regimes (reference evaluator.py:519-798)."""
+
+    def render_view(self, state, dataset, mod, frame_index):
+        frames = super().render_view(state, dataset, mod, frame_index)
+        # mosaick every modality's rendering to this modality's frame grid
+        if dataset.raw and dataset.mosaick_masks_across is not None:
+            scale = self.config.evaluator.rendering_scale
+            for key in list(frames.keys()):
+                if key in dataset.mosaick_masks_across.get(mod, {}):
+                    mask = dataset.mosaick_masks_across[mod][key]
+                    h, w = frames[key].shape[:2]
+                    inv = 1.0 / scale
+                    ys = (np.arange(h) * inv).astype(np.int64)[:, None]
+                    xs = (np.arange(w) * inv).astype(np.int64)[None, :]
+                    sub = mask[ys, xs]
+                    if frames[key].shape[-1] > 1:
+                        frames[f"{key}_mosaicked"] = np.take_along_axis(
+                            frames[key], sub[..., None].astype(np.int64), axis=-1
+                        )
+        return frames

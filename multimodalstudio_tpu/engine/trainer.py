@@ -1,0 +1,276 @@
+"""Trainer: the host-side loop owning training, evaluation and checkpoints.
+
+TPU-native counterpart of reference src/engine/trainer.py:43-217 +
+src/pipelines/base_pipeline.py. The per-step work (schedules included) lives
+inside one jitted program; the host loop does pixel sampling, cadenced
+logging/eval/checkpointing, and rays/sec accounting with the reference's
+definition (num_rays_per_modality x n_modalities / iter_time,
+trainer.py:107-114).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodalstudio_tpu.configs.config import TrainerConfig, config_to_string
+from multimodalstudio_tpu.data.dataset import MMSDataset
+from multimodalstudio_tpu.data.sampler import UniformPixelSampler
+from multimodalstudio_tpu.engine import checkpoints
+from multimodalstudio_tpu.engine.evaluator import Evaluator, RawEvaluator
+from multimodalstudio_tpu.engine.train import (
+    TrainState,
+    init_train_state,
+    make_eval_batch_step,
+    make_train_step,
+)
+from multimodalstudio_tpu.models.model import MMSModel
+from multimodalstudio_tpu.utils import profiler as prof
+from multimodalstudio_tpu.utils.writer import (
+    ITER_TRAIN_TIME,
+    TRAIN_RAYS_PER_SEC,
+    TimeWriter,
+    Writer,
+)
+
+
+def check_step(step: int, cadence: int) -> bool:
+    """Cadence test (reference src/utils/misc.py:159-164)."""
+    return cadence > 0 and step % cadence == 0 and step > 0
+
+
+class Trainer:
+    """Owns the training loop (reference trainer.py:43-138)."""
+
+    def __init__(
+        self,
+        config: TrainerConfig,
+        train_dataset: MMSDataset,
+        eval_dataset: MMSDataset,
+        output_dir: Optional[str] = None,
+    ):
+        self.config = config
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+        self.output_dir = output_dir
+        self.step_start = 0
+
+        jax.config.update(
+            "jax_default_matmul_precision",
+            {"highest": "highest", "high": "float32", "default": "bfloat16"}.get(
+                config.matmul_precision, "float32"
+            ),
+        )
+        np.random.seed(config.seed)
+
+        if config.logging.enable_profiler:
+            prof.enable()
+
+    def setup(self):
+        config = self.config
+        self.model = MMSModel(config.model)
+        self.cameras = {
+            m: self.train_dataset.data[m].cameras for m in config.modalities
+        }
+        num_cameras = {
+            m: self.train_dataset.num_frames(m) for m in config.modalities
+        }
+        rng = jax.random.key(config.seed)
+        self.rng, init_rng = jax.random.split(rng)
+        self.state = init_train_state(config, self.model, init_rng, num_cameras)
+        self.sampler = UniformPixelSampler(
+            self.train_dataset, config.datamanager.num_rays_per_modality, seed=config.seed
+        )
+        self.eval_sampler = UniformPixelSampler(
+            self.eval_dataset, config.datamanager.num_rays_per_modality, seed=config.seed + 1
+        ) if self._has_eval() else None
+
+        self.train_step = None
+        self.fused_train = None
+        self.steps_per_call = 1
+        if config.datamanager.device_cache:
+            from multimodalstudio_tpu.data.device_cache import build_device_cache
+            from multimodalstudio_tpu.engine.train import make_fused_train_fn
+
+            self.steps_per_call = self._fused_chunk()
+            cache = build_device_cache(
+                self.train_dataset, config.datamanager.quantize_cache
+            )
+            self.fused_train = make_fused_train_fn(
+                config, self.model, self.cameras, cache, self.steps_per_call
+            )
+        else:
+            self.train_step = make_train_step(config, self.model, self.cameras)
+        self.eval_step = make_eval_batch_step(config, self.model, self.cameras)
+
+        evaluator_cls = RawEvaluator if config.datamanager.raw else Evaluator
+        self.evaluator = evaluator_cls(
+            config, self.model, self.train_dataset, self.eval_dataset, self.output_dir
+        )
+
+        self.writer = Writer(
+            log_dir=self.output_dir,
+            use_tensorboard=config.logging.vis == "tensorboard" and self.output_dir,
+            use_local=config.logging.local_writer,
+            max_buffer_size=config.logging.max_buffer_size,
+        )
+
+        # resume from the newest checkpoint in the run dir (trainer.py:198-217)
+        if self.output_dir is not None:
+            ckpt_dir = self._ckpt_dir()
+            load_dir = config.load_dir or ckpt_dir
+            self.state, self.step_start = checkpoints.load_checkpoint(
+                load_dir, self.state, config.load_step
+            )
+
+        if self.output_dir is not None:
+            with open(os.path.join(self.output_dir, "config.yaml"), "w") as f:
+                f.write(config_to_string(config))
+
+        self.trace_profiler = None
+        if config.logging.enable_profiler and self.output_dir:
+            from multimodalstudio_tpu.utils.profiler import JaxTraceProfiler
+
+            self.trace_profiler = JaxTraceProfiler(
+                self.output_dir, config.logging.profiler_steps
+            )
+
+    def _has_eval(self) -> bool:
+        return all(self.eval_dataset.num_frames(m) > 0 for m in self.config.modalities)
+
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.output_dir, "checkpoints")
+
+    def _fused_chunk(self) -> int:
+        """Steps per fused dispatch: gcd of all active host cadences."""
+        import math
+
+        config = self.config
+        cadences = [
+            c
+            for c in (
+                config.logging.steps_per_log,
+                config.logging.steps_per_flush_buffer,
+                config.steps_per_eval_batch,
+                config.steps_per_eval_image,
+                config.steps_per_eval_all_images,
+                config.steps_per_save,
+                config.steps_per_export_mesh if config.evaluator.export_mesh else 0,
+                config.steps_per_export_poses if config.evaluator.export_poses else 0,
+                config.max_num_iterations,
+            )
+            if c and c > 0
+        ]
+        k = cadences[0]
+        for c in cadences[1:]:
+            k = math.gcd(k, c)
+        return max(min(k, 100), 1)
+
+    # ------------------------------------------------------------------ train
+    def train(self):
+        if self.fused_train is not None:
+            self._train_fused()
+        else:
+            self._train_per_step()
+        if self.output_dir:
+            checkpoints.save_checkpoint(
+                self._ckpt_dir(), self.state, self.config.save_only_latest_checkpoint
+            )
+        self.writer.flush(self.config.max_num_iterations, self.config.max_num_iterations)
+
+    def _train_fused(self):
+        """Device-cached loop: K jitted steps per dispatch, host work on the
+        K-step boundary only."""
+        config = self.config
+        k = self.steps_per_call
+        n_rays_step = config.datamanager.num_rays_per_modality * len(config.modalities)
+        assert self.step_start % k == 0, (
+            f"resume step {self.step_start} not aligned to fused chunk {k}"
+        )
+        for start in range(self.step_start, config.max_num_iterations, k):
+            step = start + k - 1
+            with TimeWriter(self.writer, ITER_TRAIN_TIME, step) as t:
+                self.state, aux = self.fused_train(self.state, self.rng)
+                jax.block_until_ready(self.state.params["model"])
+            self.writer.buffer.times[ITER_TRAIN_TIME][-1] = t.duration / k
+            self.writer.put_time(TRAIN_RAYS_PER_SEC, k * n_rays_step / t.duration, step)
+            self._host_cadences(step + 1, aux)
+
+    def _train_per_step(self):
+        config = self.config
+        n_rays_step = config.datamanager.num_rays_per_modality * len(config.modalities)
+
+        for step in range(self.step_start, config.max_num_iterations):
+            if self.trace_profiler:
+                self.trace_profiler.maybe_start(step)
+
+            batch = self.sampler.sample()
+            with TimeWriter(self.writer, ITER_TRAIN_TIME, step) as t:
+                self.state, aux = self.train_step(self.state, batch, self.rng)
+                jax.block_until_ready(self.state.params["model"])
+
+            self.writer.put_time(TRAIN_RAYS_PER_SEC, n_rays_step / t.duration, step)
+
+            if self.trace_profiler:
+                self.trace_profiler.maybe_stop(step)
+
+            self._host_cadences(step + 1, aux)
+
+    def _host_cadences(self, step: int, aux):
+        config = self.config
+        if check_step(step, config.logging.steps_per_log):
+            self.writer.put_dict(
+                jax.tree.map(float, aux["losses"]), step, prefix="losses/"
+            )
+            self.writer.put_dict(
+                jax.tree.map(float, aux["metrics"]), step, prefix="metrics/"
+            )
+
+        self.eval_cadences(step)
+
+        if self.output_dir and check_step(step, config.steps_per_save):
+            checkpoints.save_checkpoint(
+                self._ckpt_dir(), self.state, config.save_only_latest_checkpoint
+            )
+
+        if check_step(step, config.logging.steps_per_flush_buffer):
+            self.writer.flush(step, config.max_num_iterations)
+
+    # ------------------------------------------------------------------- eval
+    def eval_cadences(self, step: int):
+        """Cadenced eval work (reference base_pipeline.py:155-180)."""
+        config = self.config
+        if self.eval_sampler and check_step(step, config.steps_per_eval_batch):
+            aux = self.eval_step(self.state, self.eval_sampler.sample(), self.rng)
+            self.writer.put_dict(
+                jax.tree.map(float, aux["metrics"]), step, prefix="eval/"
+            )
+        if self._has_eval() and check_step(step, config.steps_per_eval_image):
+            mod = config.modalities[0]
+            frames = self.evaluator.render_single_view(self.state, mod, 0)
+            metrics = self.evaluator.view_metrics(frames, mod)
+            self.writer.put_dict(metrics, step, prefix=f"eval_image/{mod}/")
+            if self.output_dir:
+                self.evaluator.export_view(frames, mod, 0, step)
+        if self._has_eval() and check_step(step, config.steps_per_eval_all_images):
+            results = self.evaluator.render_all_eval_views(self.state)
+            for mod, vals in results.items():
+                self.writer.put_dict(vals, step, prefix=f"eval_all/{mod}/")
+        if config.evaluator.export_mesh and check_step(step, config.steps_per_export_mesh):
+            self.evaluator.export_mesh(self.state, step)
+        if config.evaluator.export_poses and check_step(step, config.steps_per_export_poses):
+            self.evaluator.export_poses(self.state, step)
+
+    def eval(self, view_ids=None):
+        """Full evaluation entry point (reference trainer.py:140-159)."""
+        results = self.evaluator.render_all_eval_views(self.state)
+        if self.config.evaluator.export_mesh:
+            self.evaluator.export_mesh(self.state, int(self.state.step))
+        if self.config.evaluator.export_poses:
+            self.evaluator.export_poses(self.state, int(self.state.step))
+        return results

@@ -1,0 +1,488 @@
+"""The multimodal NeuS model: shared SDF geometry + per-modality radiance.
+
+TPU-native counterpart of reference src/models/base_model.py plus its
+sub-models (surface_model.py, radiance_model.py, background_model.py,
+renderers.py). Architectural choices:
+
+* Flax modules live only at the leaves (fields, heads, variance); the model
+  itself is a pure function of a params pytree, so `jax.vjp` for SDF spatial
+  gradients nests cleanly inside outer `jax.grad` over params.
+* All modalities are processed as ONE flat ray batch with static per-modality
+  segments — the per-modality python loop of the reference
+  (base_model.py:102-159) becomes a single large field evaluation (bigger
+  matmuls on the MXU), with only the modality heads applied per segment.
+* The reference's boolean ROI masking (base_model.py:88-93) becomes masked
+  dense compute: every ray is evaluated; the hit mask selects between
+  composited radiance and pure background at the end.
+* Schedules (cos anneal, coarse-to-fine level, numerical-gradient delta) are
+  traced scalars computed from the step outside the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from multimodalstudio_tpu.core.rays import (
+    RayBundle,
+    RaySamples,
+    alphas_from_densities,
+    weights_from_alphas,
+)
+from multimodalstudio_tpu.fields.components import (
+    FeatureGridSpec,
+    ModalityHead,
+    PolarizationHead,
+    SingleVariance,
+)
+from multimodalstudio_tpu.fields.fields import (
+    NeRFField,
+    NeRFFieldSpec,
+    RadianceField,
+    RadianceFieldSpec,
+    SDFField,
+    SDFFieldSpec,
+)
+from multimodalstudio_tpu.fields.mlp import MLPSpec, finalize_weight_norm
+from multimodalstudio_tpu.models.colliders import background_bounds, sphere_collide
+from multimodalstudio_tpu.models.samplers import (
+    NeuSSamplerSpec,
+    SpacedSamplerSpec,
+    neus_sampling,
+    spaced_sampling,
+)
+from multimodalstudio_tpu.models.volume_rendering import neus_weights
+from multimodalstudio_tpu.ops.encodings import sh_encoding
+from multimodalstudio_tpu.ops.math import scene_contraction
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadSpec:
+    """One modality head (reference field_heads.py:26-53)."""
+
+    mlp: MLPSpec = MLPSpec(num_layers=1, hidden_dim=64, out_activation="Sigmoid")
+    polarization: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class SurfaceModelSpec:
+    """Reference SurfaceModelConfig (surface_model.py:31-47)."""
+
+    surface_field: SDFFieldSpec = SDFFieldSpec()
+    use_numerical_gradients: bool = False
+    numerical_gradient_taps: int = 4
+    compute_hessian: bool = False
+    variance_init: float = 0.3
+    anneal_end_ratio: float = 0.05
+
+
+@dataclasses.dataclass(frozen=True)
+class RadianceModelSpec:
+    """Reference RadianceModelConfig (radiance_model.py:33-55)."""
+
+    radiance_field: RadianceFieldSpec = RadianceFieldSpec()
+    use_direction_encoding: bool = True
+    sh_degree: int = 4
+    use_reflection_direction: bool = True
+    use_n_dot_v: bool = True
+    radiance_feature_dim: int = 256
+
+
+@dataclasses.dataclass(frozen=True)
+class BackgroundModelSpec:
+    """Reference BackgroundModelConfig (background_model.py:28-43)."""
+
+    field: NeRFFieldSpec = NeRFFieldSpec()
+    radiance_feature_dim: int = 128
+    contraction_order: Optional[float] = float("inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelSpec:
+    """Reference BaseModelConfig (base_model.py:34-52)."""
+
+    modalities: Tuple[Tuple[str, int], ...] = (("rgb", 3),)
+    heads: Tuple[Tuple[str, HeadSpec], ...] = ()
+    ray_sampler: NeuSSamplerSpec = NeuSSamplerSpec(num_samples=32, num_samples_importance=32)
+    background_ray_sampler: SpacedSamplerSpec = SpacedSamplerSpec(
+        num_samples=16, spacing="lin_disparity"
+    )
+    surface: SurfaceModelSpec = SurfaceModelSpec()
+    radiance: RadianceModelSpec = RadianceModelSpec()
+    background: BackgroundModelSpec = BackgroundModelSpec()
+    use_background: bool = True
+    scene_radius: float = 1.0
+    background_color: str = "None"  # None | white | black (reference renderers.py:63-73)
+
+    def head_spec(self, mod: str) -> HeadSpec:
+        for name, spec in self.heads:
+            if name == mod:
+                return spec
+        return HeadSpec()
+
+    @property
+    def modality_names(self) -> Tuple[str, ...]:
+        return tuple(m for m, _ in self.modalities)
+
+    @property
+    def modality_channels(self) -> Dict[str, int]:
+        return dict(self.modalities)
+
+
+@struct.dataclass
+class ScheduleState:
+    """Traced per-step scalars (replaces the reference's callbacks)."""
+
+    cos_anneal_ratio: jnp.ndarray  # [0, 1]
+    active_level: jnp.ndarray  # int, coarse-to-fine hash-grid level
+    numerical_delta: jnp.ndarray  # numerical-gradient epsilon
+
+
+def _head_module(name: str, spec: HeadSpec, channels: int):
+    if spec.polarization:
+        return PolarizationHead(spec.mlp, name=name)
+    return ModalityHead(spec.mlp, output_dim=channels, name=name)
+
+
+class MMSModel:
+    """Pure-function model over a params pytree; flax modules at the leaves."""
+
+    def __init__(self, spec: ModelSpec):
+        self.spec = spec
+        self.sdf_field = SDFField(spec.surface.surface_field)
+        self.variance = SingleVariance(spec.surface.variance_init)
+        self.radiance_field = RadianceField(
+            spec.radiance.radiance_field, output_dim=spec.radiance.radiance_feature_dim
+        )
+        self.heads = {
+            mod: _head_module(mod, spec.head_spec(mod), ch) for mod, ch in spec.modalities
+        }
+        if spec.use_background:
+            self.background_field = NeRFField(
+                spec.background.field, radiance_output_dim=spec.background.radiance_feature_dim
+            )
+            self.background_heads = {
+                mod: _head_module(mod, spec.head_spec(mod), ch)
+                for mod, ch in spec.modalities
+            }
+
+    # ------------------------------------------------------------------ init
+    def init(self, rng: jax.Array) -> Dict[str, Any]:
+        """Initialize all parameters; applies weight-norm finalization so the
+        initial forward matches the raw (geometric) init exactly."""
+        spec = self.spec
+        keys = jax.random.split(rng, 8)
+        pos = jnp.zeros((2, 3))
+        dirs = jnp.ones((2, 3)) / np.sqrt(3.0)
+        lvl = jnp.asarray(spec.surface.surface_field.field.grid.encoding.num_levels
+                          if spec.surface.surface_field.field.grid else 1)
+
+        params: Dict[str, Any] = {}
+        params["surface_field"] = self.sdf_field.init(keys[0], pos, lvl)["params"]
+        params["variance"] = self.variance.init(keys[1])["params"]
+
+        dir_dim = (spec.radiance.sh_degree + 1) ** 2 if spec.radiance.use_direction_encoding else 3
+        extra_dim = spec.surface.surface_field.geo_feature_dim + (
+            1 if spec.radiance.use_n_dot_v else 0
+        )
+        params["radiance_field"] = self.radiance_field.init(
+            keys[2], pos, jnp.zeros((2, dir_dim)), jnp.zeros((2, extra_dim)), lvl
+        )["params"]
+
+        feat = jnp.zeros((2, spec.radiance.radiance_feature_dim))
+        params["heads"] = {}
+        hkeys = jax.random.split(keys[3], len(self.heads))
+        for k, (mod, head) in zip(hkeys, self.heads.items()):
+            params["heads"][mod] = head.init(k, feat, dirs, dirs)["params"]
+
+        if spec.use_background:
+            params["background_field"] = self.background_field.init(keys[4], pos, dirs, lvl)[
+                "params"
+            ]
+            bfeat = jnp.zeros((2, spec.background.radiance_feature_dim))
+            params["background_heads"] = {}
+            bkeys = jax.random.split(keys[5], len(self.background_heads))
+            for k, (mod, head) in zip(bkeys, self.background_heads.items()):
+                params["background_heads"][mod] = head.init(k, bfeat, dirs, dirs)["params"]
+
+        return finalize_weight_norm(params)
+
+    # ----------------------------------------------------------- field evals
+    def sdf_geo(self, params, positions: jnp.ndarray, active_level) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """positions [..., 3] -> (sdf [...], geo_feature [..., G])."""
+        flat = positions.reshape(-1, 3)
+        sdf, geo = self.sdf_field.apply({"params": params["surface_field"]}, flat, active_level)
+        return sdf.reshape(positions.shape[:-1]), geo.reshape(*positions.shape[:-1], -1)
+
+    def sdf_only(self, params, positions: jnp.ndarray, active_level) -> jnp.ndarray:
+        return self.sdf_geo(params, positions, active_level)[0]
+
+    def inv_s(self, params) -> jnp.ndarray:
+        return self.variance.apply({"params": params["variance"]})[0]
+
+    # ------------------------------------------------------------- gradients
+    def sdf_gradients(
+        self, params, positions: jnp.ndarray, schedules: ScheduleState, train: bool
+    ):
+        """SDF value, spatial gradient, optional hessian proxy at positions.
+
+        Autograd path: forward-mode — three JVPs along the coordinate basis.
+        Chosen over jax.vjp deliberately: the input dimension is 3 so forward
+        mode costs ~3 forward passes without storing activations for a
+        transpose, nests cleanly under the outer parameter grad for the
+        eikonal loss (create_graph=True in the reference,
+        surface_model.py:192-203), and avoids a TPU XLA fusion-pass crash
+        that the nested-vjp graph triggers.
+        Numerical path: 4-tap tetrahedron or 6-tap axis taps with traced
+        delta (surface_model.py:136-189, Neuralangelo-style).
+        """
+        spec = self.spec.surface
+        lvl = schedules.active_level
+
+        if not spec.use_numerical_gradients:
+            f = lambda p: self.sdf_only(params, p, lvl)
+
+            def grad_fn(p):
+                def one(i):
+                    t = jnp.zeros((1,) * (p.ndim - 1) + (3,), p.dtype).at[..., i].set(1.0)
+                    return jax.jvp(f, (p,), (jnp.broadcast_to(t, p.shape),))[1]
+
+                return jnp.stack([one(0), one(1), one(2)], axis=-1)
+
+            sdf, geo = self.sdf_geo(params, positions, lvl)
+            gradients = grad_fn(positions)
+            hessians = None
+            if train and spec.compute_hessian:
+                # H @ 1: directional derivative of the gradient along (1,1,1)
+                hessians = jax.jvp(grad_fn, (positions,), (jnp.ones_like(positions),))[1]
+            return sdf, geo, gradients, hessians
+
+        delta = schedules.numerical_delta
+        sdf, geo = self.sdf_geo(params, positions, lvl)
+        if spec.numerical_gradient_taps == 4:
+            d = delta / np.sqrt(3.0)
+            k = jnp.asarray(
+                [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]]
+            )
+            taps = positions[..., None, :] + k * d  # [..., 4, 3]
+            tap_sdf = self.sdf_only(params, taps, lvl)  # [..., 4]
+            gradients = jnp.sum(k * tap_sdf[..., None], axis=-2) / (4.0 * d)
+            hessians = None
+            if train and spec.compute_hessian:
+                hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * sdf) / delta**2
+                hessians = jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
+            return sdf, geo, gradients, hessians
+
+        if spec.numerical_gradient_taps == 6:
+            offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0)  # [6, 3]
+            taps = positions[..., None, :] + offs * delta
+            tap_sdf = self.sdf_only(params, taps, lvl)  # [..., 6]
+            gradients = jnp.stack(
+                [
+                    0.5 * (tap_sdf[..., 0] - tap_sdf[..., 3]) / delta,
+                    0.5 * (tap_sdf[..., 1] - tap_sdf[..., 4]) / delta,
+                    0.5 * (tap_sdf[..., 2] - tap_sdf[..., 5]) / delta,
+                ],
+                axis=-1,
+            )
+            hessians = None
+            if train and spec.compute_hessian:
+                hessians = jnp.stack(
+                    [
+                        (tap_sdf[..., 0] + tap_sdf[..., 3] - 2.0 * sdf) / delta**2,
+                        (tap_sdf[..., 1] + tap_sdf[..., 4] - 2.0 * sdf) / delta**2,
+                        (tap_sdf[..., 2] + tap_sdf[..., 5] - 2.0 * sdf) / delta**2,
+                    ],
+                    axis=-1,
+                )
+            return sdf, geo, gradients, hessians
+
+        raise ValueError("numerical_gradient_taps must be 4 or 6")
+
+    # --------------------------------------------------------------- forward
+    def forward(
+        self,
+        params,
+        rays: RayBundle,
+        segments: Tuple[Tuple[str, int], ...],
+        schedules: ScheduleState,
+        rng: Optional[jax.Array],
+        train: bool,
+        aligned: bool = False,
+    ) -> Dict[str, Any]:
+        """Render a flat ray batch.
+
+        Args:
+            rays: concatenated ray batch across modalities.
+            segments: static (modality, num_rays) segmentation of the batch.
+                When `aligned` is True, every head renders every ray instead
+                (eval-time aligned renderings, reference eval_utils.py:77-178).
+        Returns:
+            dict with per-modality radiance, normals, depth, accumulation,
+            mask, and training extras (gradients, hessians, inv_s).
+        """
+        spec = self.spec
+        rng_roi, rng_bg = jax.random.split(rng) if rng is not None else (None, None)
+
+        collided, mask = sphere_collide(rays, spec.scene_radius)
+
+        samples = neus_sampling(
+            collided,
+            lambda pos: self.sdf_only(params, pos, schedules.active_level),
+            spec.ray_sampler,
+            rng_roi,
+            train,
+        )
+
+        background = None
+        if spec.use_background:
+            bg_rays = background_bounds(rays, mask, spec.scene_radius)
+            bg_samples = spaced_sampling(bg_rays, spec.background_ray_sampler, rng_bg, train)
+            background = self._background_forward(params, bg_samples, segments, aligned)
+
+        # ---- geometry
+        positions = samples.start_positions()  # [N, S, 3]
+        sdf, geo, gradients, hessians = self.sdf_gradients(params, positions, schedules, train)
+        norm = jnp.linalg.norm(gradients, axis=-1, keepdims=True)
+        normals = gradients / jnp.maximum(norm, 1e-12)
+        inv_s = self.inv_s(params)
+        weights = neus_weights(samples, sdf, gradients, inv_s, schedules.cos_anneal_ratio)
+
+        # ---- radiance
+        radiance = self._radiance_forward(params, samples, normals, geo, segments, aligned)
+
+        # ---- composition (reference renderers.py:75-174, masked dense)
+        outputs: Dict[str, Any] = {}
+        acc = jnp.sum(weights, axis=-1, keepdims=True)  # [N, 1]
+        m = mask[:, None]
+
+        for mod, seg in self._iter_segments(segments, aligned):
+            w = weights if aligned else weights[seg]
+            a = acc if aligned else acc[seg]
+            mm = m if aligned else m[seg]
+            comp = jnp.sum(w[..., None] * radiance[mod], axis=-2)  # [n, C]
+            bg = self._background_color(mod, background, comp.shape)
+            rendered = comp + bg * (1.0 - a)
+            outputs[mod] = mm * rendered + (1.0 - mm) * bg
+
+        rendered_normals = jnp.sum(weights[..., None] * normals, axis=-2)
+        steps = (samples.starts + samples.ends) * 0.5
+        depth = jnp.sum(weights * steps, axis=-1, keepdims=True)
+        depth = jnp.clip(depth, jnp.min(steps), jnp.max(steps))
+        outputs["normals"] = m * rendered_normals
+        outputs["depth"] = m * depth
+        outputs["accumulation"] = m * acc
+        outputs["mask"] = mask
+
+        if train:
+            outputs["gradients"] = gradients
+            outputs["hessians"] = hessians
+            outputs["inv_s"] = 1.0 / inv_s
+        return outputs
+
+    # ------------------------------------------------------------- internals
+    def _iter_segments(self, segments, aligned):
+        if aligned:
+            for mod, _ in self.spec.modalities:
+                yield mod, slice(None)
+        else:
+            offset = 0
+            for mod, n in segments:
+                yield mod, slice(offset, offset + n)
+                offset += n
+
+    def _background_color(self, mod, background, shape):
+        bgc = self.spec.background_color
+        if bgc == "white":
+            return jnp.ones(shape)
+        if bgc == "black" or background is None:
+            return jnp.zeros(shape)
+        return background[mod]
+
+    def _radiance_forward(self, params, samples: RaySamples, normals, geo, segments, aligned):
+        """Shared trunk + per-modality heads (reference radiance_model.py:93-151)."""
+        spec = self.spec.radiance
+        n, s = samples.num_rays, samples.num_samples
+        pos = samples.start_positions().reshape(-1, 3)
+        dirs = jnp.broadcast_to(samples.directions[:, None, :], (n, s, 3)).reshape(-1, 3)
+        ups = jnp.broadcast_to(samples.up_directions[:, None, :], (n, s, 3)).reshape(-1, 3)
+        nrm = jax.lax.stop_gradient(normals.reshape(-1, 3))
+        geo_flat = geo.reshape(-1, geo.shape[-1])
+
+        n_dot_v = jnp.sum(nrm * -dirs, axis=-1, keepdims=True)
+        extras = [geo_flat]
+        if spec.use_n_dot_v:
+            extras.append(n_dot_v)
+
+        dir_input = dirs
+        if spec.use_reflection_direction:
+            dir_input = 2.0 * (n_dot_v * nrm) + dirs
+        if spec.use_direction_encoding:
+            dir_input = sh_encoding(dir_input, spec.sh_degree)
+
+        feature = self.radiance_field.apply(
+            {"params": params["radiance_field"]},
+            pos,
+            dir_input,
+            jnp.concatenate(extras, axis=-1),
+        )  # [n*s, F]
+
+        outputs = {}
+        feature_r = feature.reshape(n, s, -1)
+        dirs_r = dirs.reshape(n, s, 3)
+        ups_r = ups.reshape(n, s, 3)
+        for mod, seg in self._iter_segments(segments, aligned):
+            f = feature_r if aligned else feature_r[seg]
+            d = dirs_r if aligned else dirs_r[seg]
+            u = ups_r if aligned else ups_r[seg]
+            out = self.heads[mod].apply(
+                {"params": params["heads"][mod]},
+                f.reshape(-1, f.shape[-1]),
+                directions=d.reshape(-1, 3),
+                up_directions=u.reshape(-1, 3),
+            )
+            outputs[mod] = out.reshape(f.shape[0], s, -1)
+        return outputs
+
+    def _background_forward(self, params, samples: RaySamples, segments, aligned):
+        """NeRF background: density -> alpha compositing of per-mod radiance
+        (reference background_model.py:72-111)."""
+        spec = self.spec.background
+        n, s = samples.num_rays, samples.num_samples
+        pos = samples.start_positions().reshape(-1, 3)
+        dirs = jnp.broadcast_to(samples.directions[:, None, :], (n, s, 3)).reshape(-1, 3)
+        ups = jnp.broadcast_to(samples.up_directions[:, None, :], (n, s, 3)).reshape(-1, 3)
+
+        if spec.contraction_order is not None:
+            pos = scene_contraction(pos, spec.contraction_order)
+
+        density, feature = self.background_field.apply(
+            {"params": params["background_field"]}, pos, dirs
+        )
+        density = density.reshape(n, s)
+        alphas = alphas_from_densities(samples.deltas, density)
+        weights = weights_from_alphas(alphas)  # [N, S]
+
+        outputs = {}
+        feature_r = feature.reshape(n, s, -1)
+        dirs_r = dirs.reshape(n, s, 3)
+        ups_r = ups.reshape(n, s, 3)
+        for mod, seg in self._iter_segments(segments, aligned):
+            f = feature_r if aligned else feature_r[seg]
+            d = dirs_r if aligned else dirs_r[seg]
+            u = ups_r if aligned else ups_r[seg]
+            w = weights if aligned else weights[seg]
+            out = self.background_heads[mod].apply(
+                {"params": params["background_heads"][mod]},
+                f.reshape(-1, f.shape[-1]),
+                directions=d.reshape(-1, 3),
+                up_directions=u.reshape(-1, 3),
+            )
+            out = out.reshape(f.shape[0], s, -1)
+            outputs[mod] = jnp.sum(w[..., None] * out, axis=-2)
+        return outputs
