@@ -102,31 +102,20 @@ class HashGridSpec:
         return self.num_levels * self.features_per_level
 
 
-def _level_indices(x: jnp.ndarray, level: int, spec: HashGridSpec):
-    """Corner indices + interpolation weights for one level.
+def _level_axis_weights(x: jnp.ndarray, level: int, spec: HashGridSpec):
+    """Per-axis base cell + interpolation weights for one level.
 
-    x: [N, 3] in [0,1]. Returns (idx [N, 8] int32 into the flat table,
-    w [N, 3] per-axis weights, offset [N, 3] raw fractional offsets).
+    x: [N, 3] in [0,1]. Returns (base [N, 3] int32 cell coords,
+    w [N, 3] per-axis interp weights, offset [N, 3] raw fractional offsets).
+
+    All tensors stay [N, 3] or 1-D — never [N, 8] — because TPU (8,128)
+    tiling pads a materialized last-dim-8 array 16x in HBM.
     """
     res = float(spec.resolutions[level])
     scaled = x * res
     floor = jnp.floor(scaled)
     offset = scaled - floor  # [N, 3]
     base = floor.astype(jnp.int32)
-    corners_u = (base[:, None, :] + jnp.asarray(_CORNERS)).astype(jnp.uint32)  # [N, 8, 3]
-
-    res_i = int(spec.resolutions[level])
-    if (res_i + 1) ** 3 <= spec.table_size:
-        # dense, collision-free indexing (Instant-NGP policy for coarse levels)
-        stride = np.uint32(res_i + 1)
-        idx = corners_u[..., 0] + corners_u[..., 1] * stride + corners_u[..., 2] * stride * stride
-    else:
-        primes = jnp.asarray(_HASH_PRIMES)
-        idx = corners_u[..., 0] * primes[0]
-        idx = jnp.bitwise_xor(idx, corners_u[..., 1] * primes[1])
-        idx = jnp.bitwise_xor(idx, corners_u[..., 2] * primes[2])
-        idx = idx & jnp.uint32(spec.table_size - 1)
-    idx = (idx + jnp.uint32(level * spec.table_size)).astype(jnp.int32)  # [N, 8]
 
     if spec.interpolation == "Smoothstep":
         w = offset * offset * (3.0 - 2.0 * offset)
@@ -136,23 +125,45 @@ def _level_indices(x: jnp.ndarray, level: int, spec: HashGridSpec):
         w = jnp.round(offset)
     else:
         raise ValueError(f"unknown interpolation {spec.interpolation}")
-    return idx, w, offset
+    return base, w, offset
 
 
-def _corner_weights(w: jnp.ndarray, dtype) -> jnp.ndarray:
-    """[N, 3] per-axis weights -> [N, 8] trilinear corner weights."""
-    bits = jnp.asarray(_CORNERS, dtype=dtype)  # [8, 3]
-    cw = bits * w[:, None, :] + (1.0 - bits) * (1.0 - w[:, None, :])
-    return jnp.prod(cw, axis=-1)
+def _corner_index(base: jnp.ndarray, bits, level: int, spec: HashGridSpec) -> jnp.ndarray:
+    """Flat table index of one cube corner: [N, 3] base + corner bits -> [N]."""
+    cu = (base + jnp.asarray(bits, jnp.int32)).astype(jnp.uint32)  # [N, 3]
+    res_i = int(spec.resolutions[level])
+    if (res_i + 1) ** 3 <= spec.table_size:
+        # dense, collision-free indexing (Instant-NGP policy for coarse levels)
+        stride = np.uint32(res_i + 1)
+        idx = cu[:, 0] + cu[:, 1] * stride + cu[:, 2] * stride * stride
+    else:
+        primes = _HASH_PRIMES
+        idx = cu[:, 0] * primes[0]
+        idx = jnp.bitwise_xor(idx, cu[:, 1] * primes[1])
+        idx = jnp.bitwise_xor(idx, cu[:, 2] * primes[2])
+        idx = idx & jnp.uint32(spec.table_size - 1)
+    return (idx + jnp.uint32(level * spec.table_size)).astype(jnp.int32)
+
+
+def _corner_weight(w: jnp.ndarray, bits) -> jnp.ndarray:
+    """Trilinear weight of one corner: [N, 3] axis weights -> [N]."""
+    wx = w[:, 0] if bits[0] else 1.0 - w[:, 0]
+    wy = w[:, 1] if bits[1] else 1.0 - w[:, 1]
+    wz = w[:, 2] if bits[2] else 1.0 - w[:, 2]
+    return wx * wy * wz
 
 
 def _hash_lookup_impl(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
     outs = []
     for level in range(spec.num_levels):
-        idx, w, _ = _level_indices(x, level, spec)
-        feats = jnp.take(table, idx, axis=0)  # [N, 8, F]
-        cw = _corner_weights(w, x.dtype)
-        outs.append(jnp.sum(feats * cw[..., None], axis=1))  # [N, F]
+        base, w, _ = _level_axis_weights(x, level, spec)
+        acc = None
+        for bits in _CORNERS:
+            idx = _corner_index(base, bits, level, spec)
+            feats = jnp.take(table, idx, axis=0)  # [N, F]
+            contrib = feats * _corner_weight(w, bits)[:, None]
+            acc = contrib if acc is None else acc + contrib
+        outs.append(acc)
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -178,26 +189,35 @@ def _hash_lookup_bwd(spec, residuals, g):
     f = spec.features_per_level
     d_table = jnp.zeros_like(table)
     d_x = jnp.zeros_like(x)
-    bits = jnp.asarray(_CORNERS, dtype=x.dtype)  # [8, 3]
 
     for level in range(spec.num_levels):
-        idx, w, offset = _level_indices(x, level, spec)
-        cw = _corner_weights(w, x.dtype)  # [N, 8]
+        base, w, offset = _level_axis_weights(x, level, spec)
         g_l = g[:, level * f : (level + 1) * f]  # [N, F]
 
-        # table gradient: for each corner, add cw * g_l at idx
-        updates = cw[..., None] * g_l[:, None, :]  # [N, 8, F]
-        d_table = d_table.at[idx.reshape(-1)].add(updates.reshape(-1, f))
+        dw_sum = jnp.zeros_like(x)  # d out / d w accumulated over corners
+        for bits in _CORNERS:
+            idx = _corner_index(base, bits, level, spec)
+            axis_facs = [
+                (w[:, d] if bits[d] else 1.0 - w[:, d]) for d in range(3)
+            ]  # each [N]
+            cw = axis_facs[0] * axis_facs[1] * axis_facs[2]
 
-        # position gradient: d out/d x_d = sum_c feats_c * d cw_c/d w_d * dw/dx
-        feats = jnp.take(table, idx, axis=0)  # [N, 8, F]
-        fg = jnp.sum(feats * g_l[:, None, :], axis=-1)  # [N, 8]
-        # d cw_c / d w_d = (2 bits_d - 1) * prod_{e != d} (bits_e w_e + (1-bits_e)(1-w_e))
-        per_axis = bits[None] * w[:, None, :] + (1.0 - bits[None]) * (1.0 - w[:, None, :])  # [N, 8, 3]
-        total = jnp.prod(per_axis, axis=-1, keepdims=True)  # [N, 8, 1]
-        partial = total / jnp.maximum(per_axis, 1e-12)  # prod over other axes
-        dcw_dw = (2.0 * bits[None] - 1.0) * partial  # [N, 8, 3]
-        dw_sum = jnp.sum(fg[..., None] * dcw_dw, axis=1)  # [N, 3]
+            # table gradient: scatter-add cw * g_l at idx
+            d_table = d_table.at[idx].add(cw[:, None] * g_l)
+
+            # position gradient chain
+            feats = jnp.take(table, idx, axis=0)  # [N, F]
+            fg = jnp.sum(feats * g_l, axis=-1)  # [N]
+            # d cw/d w_d = sign_d * prod of the other two axis factors
+            dcw = jnp.stack(
+                [
+                    (1.0 if bits[0] else -1.0) * axis_facs[1] * axis_facs[2],
+                    (1.0 if bits[1] else -1.0) * axis_facs[0] * axis_facs[2],
+                    (1.0 if bits[2] else -1.0) * axis_facs[0] * axis_facs[1],
+                ],
+                axis=-1,
+            )  # [N, 3]
+            dw_sum = dw_sum + fg[:, None] * dcw
 
         if spec.interpolation == "Smoothstep":
             dw_doff = 6.0 * offset * (1.0 - offset)

@@ -1,0 +1,349 @@
+"""Integration tests: training convergence, checkpoint round-trip, evaluator,
+dataset IO, raw channel selection, camera ray generation."""
+
+import dataclasses
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from multimodalstudio_tpu.configs.methods import method_configs
+from multimodalstudio_tpu.data.sampler import UniformPixelSampler, dense_pixel_batch
+from multimodalstudio_tpu.data.synthetic import (
+    MOSAICK_PATTERNS,
+    make_synthetic_dataset,
+    write_synthetic_scene,
+)
+from multimodalstudio_tpu.engine.train import init_train_state, make_train_step
+from multimodalstudio_tpu.models.model import MMSModel
+
+
+def tiny_config(method="mlp_raw", mods=("rgb", "mono"), n_rays=48, iters=60, **dm_kw):
+    channels = {"rgb": 3, "mono": 1, "polarization": 4}
+    cfg = method_configs()[method]
+    model = cfg.model
+    # shrink MLPs for CPU speed
+    if method.startswith("mlp"):
+        from multimodalstudio_tpu.fields.mlp import MLPSpec
+        from multimodalstudio_tpu.fields.fields import FieldComponentSpec, RadianceFieldSpec
+
+        surface = dataclasses.replace(
+            model.surface,
+            surface_field=dataclasses.replace(
+                model.surface.surface_field,
+                field=FieldComponentSpec(
+                    mlp=MLPSpec(
+                        num_layers=4, hidden_dim=64, activation="Softplus",
+                        activation_beta=100.0, out_activation="None",
+                        geometric_init=True, weight_norm=True,
+                    )
+                ),
+                geo_feature_dim=64,
+            ),
+        )
+        radiance = dataclasses.replace(
+            model.radiance,
+            radiance_field=RadianceFieldSpec(
+                base_field=FieldComponentSpec(
+                    mlp=MLPSpec(num_layers=3, hidden_dim=64, out_activation="ReLU")
+                )
+            ),
+            radiance_feature_dim=64,
+        )
+        model = dataclasses.replace(model, surface=surface, radiance=radiance)
+    else:
+        from multimodalstudio_tpu.ops.encodings import HashGridSpec
+
+        small = HashGridSpec(num_levels=4, max_res=64, log2_hashmap_size=10)
+        shrink = lambda g: dataclasses.replace(g, encoding=small)
+        model = dataclasses.replace(
+            model,
+            surface=dataclasses.replace(
+                model.surface,
+                surface_field=dataclasses.replace(
+                    model.surface.surface_field,
+                    field=dataclasses.replace(
+                        model.surface.surface_field.field,
+                        grid=shrink(model.surface.surface_field.field.grid),
+                    ),
+                ),
+            ),
+            radiance=dataclasses.replace(
+                model.radiance,
+                radiance_field=dataclasses.replace(
+                    model.radiance.radiance_field,
+                    base_field=dataclasses.replace(
+                        model.radiance.radiance_field.base_field,
+                        grid=shrink(model.radiance.radiance_field.base_field.grid),
+                    ),
+                ),
+            ),
+        )
+    model = dataclasses.replace(
+        model, modalities=tuple((m, channels[m]) for m in mods)
+    )
+    return dataclasses.replace(
+        cfg,
+        modalities=mods,
+        model=model,
+        max_num_iterations=iters,
+        datamanager=dataclasses.replace(
+            cfg.datamanager, num_rays_per_modality=n_rays, **dm_kw
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def mlp_setup():
+    cfg = tiny_config()
+    ds = make_synthetic_dataset(cfg.modalities, num_views=4, height=32, width=32, raw=True)
+    model = MMSModel(cfg.model)
+    state = init_train_state(cfg, model, jax.random.key(0), {m: 4 for m in cfg.modalities})
+    cams = {m: ds.data[m].cameras for m in cfg.modalities}
+    return cfg, ds, model, state, cams
+
+
+class TestTraining:
+    def test_loss_decreases_and_psnr_improves(self, mlp_setup):
+        cfg, ds, model, state, cams = mlp_setup
+        state = jax.tree.map(jnp.copy, state)  # step fns donate their input
+        sampler = UniformPixelSampler(ds, cfg.datamanager.num_rays_per_modality, seed=0)
+        step_fn = make_train_step(cfg, model, cams)
+        rng = jax.random.key(1)
+        state, aux0 = step_fn(state, sampler.sample(), rng)
+        first = float(aux0["losses"]["total_loss"])
+        for _ in range(30):
+            state, aux = step_fn(state, sampler.sample(), rng)
+        last = float(aux["losses"]["total_loss"])
+        assert last < first * 0.8, f"{first} -> {last}"
+        assert float(aux["metrics"]["psnr_rgb"]) > float(aux0["metrics"]["psnr_rgb"])
+
+    def test_grads_finite_grid_method(self):
+        cfg = tiny_config("grid_raw", iters=40, n_rays=24)
+        ds = make_synthetic_dataset(cfg.modalities, num_views=3, height=24, width=24, raw=True)
+        model = MMSModel(cfg.model)
+        state = init_train_state(cfg, model, jax.random.key(0), {m: 3 for m in cfg.modalities})
+        cams = {m: ds.data[m].cameras for m in cfg.modalities}
+        step_fn = make_train_step(cfg, model, cams)
+        sampler = UniformPixelSampler(ds, 24, seed=0)
+        state, aux = step_fn(state, sampler.sample(), jax.random.key(1))
+        for k, v in aux["losses"].items():
+            assert np.isfinite(float(v)), k
+
+    def test_microbatch_matches_full_batch_loss(self):
+        # gradient accumulation must give the same loss value (same pixels)
+        cfg = tiny_config(n_rays=32)
+        cfg_mb = dataclasses.replace(
+            cfg, datamanager=dataclasses.replace(cfg.datamanager, microbatch_rays=16)
+        )
+        ds = make_synthetic_dataset(cfg.modalities, num_views=3, height=24, width=24, raw=True)
+        model = MMSModel(cfg.model)
+        state = init_train_state(cfg, model, jax.random.key(0), {m: 3 for m in cfg.modalities})
+        cams = {m: ds.data[m].cameras for m in cfg.modalities}
+        sampler = UniformPixelSampler(ds, 32, seed=0)
+        batch = sampler.sample()
+        state2 = jax.tree.map(jnp.copy, state)  # train_step donates its input
+        aux_full = make_train_step(cfg, model, cams)(state, batch, jax.random.key(5))[1]
+        aux_mb = make_train_step(cfg_mb, model, cams)(state2, batch, jax.random.key(5))[1]
+        # radiance losses are deterministic given the same batch (stratified
+        # rng differs per microbatch, so compare loosely)
+        assert abs(
+            float(aux_full["losses"]["total_loss"]) - float(aux_mb["losses"]["total_loss"])
+        ) < 0.1
+
+    def test_camera_pose_optimization_updates(self):
+        from multimodalstudio_tpu.cameras.camera_optimizer import CameraOptimizerSpec
+
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            datamanager=dataclasses.replace(
+                cfg.datamanager,
+                camera_optimizer=CameraOptimizerSpec(
+                    mode="SO3xR3",
+                    shared_optimization=True,
+                    modalities_to_optimize=(("rgb", True), ("mono", False)),
+                ),
+            ),
+        )
+        ds = make_synthetic_dataset(cfg.modalities, num_views=3, height=24, width=24, raw=True)
+        model = MMSModel(cfg.model)
+        state = init_train_state(cfg, model, jax.random.key(0), {m: 3 for m in cfg.modalities})
+        assert state.params["camera_poses"]["rgb"].shape == (1, 6)
+        cams = {m: ds.data[m].cameras for m in cfg.modalities}
+        step_fn = make_train_step(cfg, model, cams)
+        sampler = UniformPixelSampler(ds, cfg.datamanager.num_rays_per_modality, seed=0)
+        for _ in range(3):
+            state, _ = step_fn(state, sampler.sample(), jax.random.key(1))
+        # optimized modality moved; frozen modality stayed at zero
+        assert float(jnp.abs(state.params["camera_poses"]["rgb"]).max()) > 0
+        assert float(jnp.abs(state.params["camera_poses"]["mono"]).max()) == 0
+
+
+class TestCheckpointing:
+    def test_save_load_roundtrip(self, mlp_setup, tmp_path):
+        from multimodalstudio_tpu.engine import checkpoints
+
+        cfg, ds, model, state, cams = mlp_setup
+        state = dataclasses.replace(state) if not hasattr(state, "replace") else state
+        path = str(tmp_path / "ckpts")
+        saved = state.replace(step=jnp.asarray(40))
+        checkpoints.save_checkpoint(path, saved)
+        assert checkpoints.latest_checkpoint_step(path) == 40
+        template = init_train_state(cfg, model, jax.random.key(9), {m: 4 for m in cfg.modalities})
+        restored, next_step = checkpoints.load_checkpoint(path, template)
+        assert next_step == 41
+        a = jax.tree.leaves(saved.params)
+        b = jax.tree.leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y)
+
+    def test_prune_keeps_only_latest(self, mlp_setup, tmp_path):
+        from multimodalstudio_tpu.engine import checkpoints
+
+        cfg, ds, model, state, cams = mlp_setup
+        path = str(tmp_path / "ckpts2")
+        checkpoints.save_checkpoint(path, state.replace(step=jnp.asarray(10)))
+        checkpoints.save_checkpoint(path, state.replace(step=jnp.asarray(20)), True)
+        steps = [d for d in os.listdir(path) if d.startswith("step-")]
+        assert steps == ["step-000000020"]
+
+
+class TestEvaluator:
+    def test_render_view_shapes_and_metrics(self, mlp_setup):
+        from multimodalstudio_tpu.engine.evaluator import RawEvaluator
+
+        cfg, ds, model, state, cams = mlp_setup
+        cfg = dataclasses.replace(
+            cfg,
+            evaluator=dataclasses.replace(
+                cfg.evaluator, eval_num_rays_per_chunk=128, rendering_scale=0.5
+            ),
+        )
+        ev = RawEvaluator(cfg, model, ds, ds, None)
+        frames = ev.render_view(state, ds, "rgb", 0)
+        assert frames["rgb"].shape == (16, 16, 3)
+        assert frames["mono"].shape == (16, 16, 1)  # aligned rendering
+        assert frames["normals"].shape == (16, 16, 3)
+        assert frames["depth"].shape == (16, 16, 1)
+        assert "rgb_mosaicked" in frames
+        metrics = ev.view_metrics(frames, "rgb")
+        assert np.isfinite(metrics["psnr"]) and np.isfinite(metrics["ssim"])
+
+    def test_mesh_extraction_analytic_sphere(self):
+        from multimodalstudio_tpu.engine.mesh import extract_mesh
+
+        sdf = lambda p: np.linalg.norm(p, axis=-1) - 0.5
+        verts, faces = extract_mesh(sdf, resolution=32, bounds=(-1, 1))
+        assert len(verts) > 100 and len(faces) > 100
+        radii = np.linalg.norm(verts, axis=-1)
+        np.testing.assert_allclose(radii.mean(), 0.5, atol=0.02)
+        assert faces.max() < len(verts)
+
+
+class TestDatasetIO:
+    def test_write_and_parse_roundtrip(self, tmp_path):
+        from multimodalstudio_tpu.data.dataset import load_dataset, train_eval_indices
+
+        scene = write_synthetic_scene(
+            str(tmp_path / "scene"), ("rgb", "mono"), num_views=4, height=16, width=16, raw=True
+        )
+        train_idx, eval_idx = train_eval_indices(scene, ("rgb", "mono"), eval_image_indices=[3])
+        assert train_idx["rgb"] == [0, 1, 2] and eval_idx["rgb"] == [3]
+        ds = load_dataset(scene, ("rgb", "mono"), train_idx, raw=True)
+        assert ds.data["rgb"].images.shape == (3, 16, 16, 1)  # raw = 1 channel
+        assert ds.channels_per_modality == {"rgb": 3, "mono": 1}
+        assert ds.scene_box.radius == 1.0
+        # written pixels round-trip through 16-bit png
+        mem = make_synthetic_dataset(("rgb", "mono"), 4, 16, 16, raw=True)
+        np.testing.assert_allclose(
+            ds.data["mono"].images, mem.data["mono"].images[:3], atol=2e-4
+        )
+
+    def test_mosaick_mask_tiling(self):
+        from multimodalstudio_tpu.data.dataset import build_mosaick_mask
+
+        mask = build_mosaick_mask(MOSAICK_PATTERNS["rgb"], 5, 5)
+        assert mask.shape == (5, 5)
+        np.testing.assert_array_equal(mask[:2, :2], MOSAICK_PATTERNS["rgb"])
+        np.testing.assert_array_equal(mask[2:4, 2:4], MOSAICK_PATTERNS["rgb"])
+
+    def test_dense_pixel_batch_covers_frame(self, mlp_setup):
+        cfg, ds, model, state, cams = mlp_setup
+        pb = dense_pixel_batch(ds, "rgb", 0, scale=1.0)
+        assert pb.pixel_coords.shape == (32 * 32, 2)
+        np.testing.assert_allclose(pb.pixel_coords[0], [0.5, 0.5])
+        np.testing.assert_allclose(pb.pixel_coords[-1], [31.5, 31.5])
+
+
+class TestRawChannelSelection:
+    def test_select_right_channel(self):
+        from multimodalstudio_tpu.engine.train import select_mosaick_channels
+        from multimodalstudio_tpu.data.sampler import PixelBatch
+
+        cfg = tiny_config(mods=("rgb",))
+        rendered = jnp.asarray([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6]])
+        batch = {
+            "rgb": PixelBatch(
+                camera_indices=jnp.zeros(2, jnp.int32),
+                pixel_coords=jnp.zeros((2, 2)),
+                pixels=jnp.zeros((2, 1)),
+                mosaick_channel=jnp.asarray([2, 0]),
+            )
+        }
+        out = select_mosaick_channels(cfg, {"rgb": rendered}, batch)
+        np.testing.assert_allclose(out["rgb"], [[0.3], [0.4]])
+
+
+class TestCameraRays:
+    def test_center_pixel_looks_forward(self):
+        ds = make_synthetic_dataset(("rgb",), num_views=1, height=32, width=32)
+        cams = ds.data["rgb"].cameras
+        from multimodalstudio_tpu.cameras.cameras import generate_rays
+
+        rays = generate_rays(
+            cams, jnp.zeros(1, jnp.int32), jnp.asarray([[16.0, 16.0]])
+        )
+        c2w = np.asarray(cams.camera_to_worlds[0])
+        forward = -c2w[:3, 2]  # camera -Z in world
+        np.testing.assert_allclose(
+            np.asarray(rays.directions[0]), forward, atol=1e-3
+        )
+        np.testing.assert_allclose(np.asarray(rays.origins[0]), c2w[:3, 3], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rays.up_directions[0]), c2w[:3, 1], atol=1e-6)
+
+    def test_rays_hit_rendered_pixels(self):
+        # ray through a pixel that the analytic renderer marked as sphere-hit
+        # must intersect the sphere
+        ds = make_synthetic_dataset(("mono",), num_views=1, height=32, width=32)
+        img = ds.data["mono"].images[0]
+        from multimodalstudio_tpu.cameras.cameras import generate_rays
+        from multimodalstudio_tpu.models.colliders import sphere_collide
+
+        ys, xs = 16, 16  # center: sphere is centered in view
+        rays = generate_rays(
+            ds.data["mono"].cameras,
+            jnp.zeros(1, jnp.int32),
+            jnp.asarray([[ys + 0.5, xs + 0.5]]),
+        )
+        _, mask = sphere_collide(rays, 0.5)
+        assert float(mask[0]) == 1.0
+
+    def test_distortion_roundtrip_through_rays(self):
+        # with distortion params, rays at the same pixel shift consistently
+        ds = make_synthetic_dataset(("rgb",), num_views=1, height=32, width=32)
+        cams = ds.data["rgb"].cameras
+        cams_dist = cams.replace(
+            distortion_params=jnp.tile(
+                jnp.asarray([[0.05, 0.0, 0.0, 0.0, 0.0, 0.0]]), (1, 1)
+            )
+        )
+        from multimodalstudio_tpu.cameras.cameras import generate_rays
+
+        r0 = generate_rays(cams, jnp.zeros(1, jnp.int32), jnp.asarray([[4.5, 4.5]]))
+        r1 = generate_rays(cams_dist, jnp.zeros(1, jnp.int32), jnp.asarray([[4.5, 4.5]]))
+        # distorted camera bends the off-center ray outward (barrel k1>0 undistort)
+        assert not np.allclose(np.asarray(r0.directions), np.asarray(r1.directions), atol=1e-5)
