@@ -45,6 +45,9 @@ class DataManagerSpec:
     microbatch_rays: int = 0  # rays/modality per grad-accumulation slice (0 = whole batch)
     eval_image_indices: Tuple[int, ...] = (9, 19, 29, 39, 49)
     eval_indices_per_modality: Optional[Tuple[Tuple[str, Tuple[int, ...]], ...]] = None
+    # training views to drop per modality (unbalanced-view experiments,
+    # reference confs/grid_raw_rgb_all_views_pol_10_views.yaml)
+    skip_indices_per_modality: Optional[Tuple[Tuple[str, Tuple[int, ...]], ...]] = None
     eval_ratio: float = 0.0
     camera_optimizer: CameraOptimizerSpec = CameraOptimizerSpec()
 
@@ -131,6 +134,11 @@ def _apply_overrides(obj: Any, overrides: Dict[str, Any]) -> Any:
         current = getattr(obj, key)
         if isinstance(value, dict) and dataclasses.is_dataclass(current):
             updates[key] = _apply_overrides(current, value)
+        elif isinstance(value, dict):
+            # dict-valued leaves map onto tuple-of-pairs spec fields
+            updates[key] = tuple(
+                (k, tuple(v) if isinstance(v, list) else v) for k, v in value.items()
+            )
         elif isinstance(value, list):
             updates[key] = tuple(value) if isinstance(current, tuple) else value
         else:

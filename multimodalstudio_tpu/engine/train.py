@@ -276,11 +276,11 @@ def make_fused_train_fn(
 
     def multi_step(state: TrainState, rng: jax.Array):
         def body(carry, _):
-            state, aux = one_step(carry, rng)
-            return state, None
+            new_state, aux = one_step(carry, rng)
+            return new_state, aux  # aux holds only scalars
 
-        state, _ = jax.lax.scan(body, state, None, length=steps_per_call - 1)
-        return one_step(state, rng)
+        state, auxes = jax.lax.scan(body, state, None, length=steps_per_call)
+        return state, jax.tree.map(lambda a: a[-1], auxes)
 
     return jax.jit(multi_step, donate_argnums=(0,))
 

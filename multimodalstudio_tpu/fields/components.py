@@ -60,6 +60,9 @@ class FeatureGrid(nn.Module):
     def __call__(self, x: jnp.ndarray, active_level: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         spec = self.spec
         rescaled = (x + spec.radius) / (2.0 * spec.radius)
+        # clamp to the grid domain: numerical-gradient taps and background
+        # samples can step slightly outside [-r, r]; tcnn clamps likewise
+        rescaled = jnp.clip(rescaled, 0.0, 1.0 - 1e-6)
         features = HashEncoding(spec.encoding, name="encoding")(rescaled)
         if spec.coarse_to_fine and active_level is not None:
             fpl = spec.encoding.features_per_level

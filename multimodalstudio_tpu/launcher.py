@@ -47,6 +47,9 @@ def build_datasets(config, scene: str):
         eval_indices_per_modality=eval_per_mod,
         eval_ratio=config.datamanager.eval_ratio,
     )
+    if config.datamanager.skip_indices_per_modality is not None:
+        for mod, skips in config.datamanager.skip_indices_per_modality:
+            train_idx[mod] = [i for i in train_idx[mod] if i not in set(skips)]
     train = D.load_dataset(scene, config.modalities, train_idx, raw=config.datamanager.raw)
     evald = D.load_dataset(scene, config.modalities, eval_idx, raw=config.datamanager.raw)
     return train, evald

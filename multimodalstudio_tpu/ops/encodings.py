@@ -102,20 +102,45 @@ class HashGridSpec:
         return self.num_levels * self.features_per_level
 
 
-def _level_axis_weights(x: jnp.ndarray, level: int, spec: HashGridSpec):
-    """Per-axis base cell + interpolation weights for one level.
+def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec):
+    """Vectorized corner indices + interpolation data for ALL levels.
 
-    x: [N, 3] in [0,1]. Returns (base [N, 3] int32 cell coords,
-    w [N, 3] per-axis interp weights, offset [N, 3] raw fractional offsets).
+    x: [N, 3] in [0,1]. Returns (idx [L, 8, N] int32 flat table indices,
+    axis_fac [L, 8, 3, N] per-corner per-axis interp factors,
+    offset [L, 3, N] raw fractional offsets).
 
-    All tensors stay [N, 3] or 1-D — never [N, 8] — because TPU (8,128)
-    tiling pads a materialized last-dim-8 array 16x in HBM.
+    Layout note: arrays keep N in the minor (lane) dimension — a
+    materialized last-dim-8 or last-dim-3 array tiles as (8, 128) on TPU and
+    pads its minor dim to 128 (up to 16x HBM amplification); [.., 8, N] and
+    [.., 3, N] shapes tile clean.
     """
-    res = float(spec.resolutions[level])
-    scaled = x * res
+    res = jnp.asarray(spec.resolutions, x.dtype)  # [L]
+    x_t = x.T  # [3, N]
+    scaled = res[:, None, None] * x_t[None]  # [L, 3, N]
     floor = jnp.floor(scaled)
-    offset = scaled - floor  # [N, 3]
+    offset = scaled - floor  # [L, 3, N]
     base = floor.astype(jnp.int32)
+
+    bits = jnp.asarray(_CORNERS, jnp.int32)  # [8, 3]
+    cu = (base[:, None] + bits[None, :, :, None]).astype(jnp.uint32)  # [L, 8, 3, N]
+
+    # hashed index (fine levels)
+    hashed = cu[:, :, 0] * _HASH_PRIMES[0]
+    hashed = jnp.bitwise_xor(hashed, cu[:, :, 1] * _HASH_PRIMES[1])
+    hashed = jnp.bitwise_xor(hashed, cu[:, :, 2] * _HASH_PRIMES[2])
+    hashed = hashed & np.uint32(spec.table_size - 1)  # [L, 8, N]
+
+    # dense, collision-free index (coarse levels; Instant-NGP policy)
+    res_i = spec.resolutions
+    stride = jnp.asarray((res_i + 1).astype(np.uint32))[:, None, None]  # [L,1,1]
+    dense = cu[:, :, 0] + cu[:, :, 1] * stride + cu[:, :, 2] * stride * stride
+
+    dense_mask = (res_i.astype(np.int64) + 1) ** 3 <= spec.table_size  # [L] static
+    idx = jnp.where(jnp.asarray(dense_mask)[:, None, None], dense, hashed)
+    level_offsets = (
+        jnp.arange(spec.num_levels, dtype=jnp.uint32) * np.uint32(spec.table_size)
+    )[:, None, None]
+    idx = (idx + level_offsets).astype(jnp.int32)  # [L, 8, N]
 
     if spec.interpolation == "Smoothstep":
         w = offset * offset * (3.0 - 2.0 * offset)
@@ -125,46 +150,23 @@ def _level_axis_weights(x: jnp.ndarray, level: int, spec: HashGridSpec):
         w = jnp.round(offset)
     else:
         raise ValueError(f"unknown interpolation {spec.interpolation}")
-    return base, w, offset
 
-
-def _corner_index(base: jnp.ndarray, bits, level: int, spec: HashGridSpec) -> jnp.ndarray:
-    """Flat table index of one cube corner: [N, 3] base + corner bits -> [N]."""
-    cu = (base + jnp.asarray(bits, jnp.int32)).astype(jnp.uint32)  # [N, 3]
-    res_i = int(spec.resolutions[level])
-    if (res_i + 1) ** 3 <= spec.table_size:
-        # dense, collision-free indexing (Instant-NGP policy for coarse levels)
-        stride = np.uint32(res_i + 1)
-        idx = cu[:, 0] + cu[:, 1] * stride + cu[:, 2] * stride * stride
-    else:
-        primes = _HASH_PRIMES
-        idx = cu[:, 0] * primes[0]
-        idx = jnp.bitwise_xor(idx, cu[:, 1] * primes[1])
-        idx = jnp.bitwise_xor(idx, cu[:, 2] * primes[2])
-        idx = idx & jnp.uint32(spec.table_size - 1)
-    return (idx + jnp.uint32(level * spec.table_size)).astype(jnp.int32)
-
-
-def _corner_weight(w: jnp.ndarray, bits) -> jnp.ndarray:
-    """Trilinear weight of one corner: [N, 3] axis weights -> [N]."""
-    wx = w[:, 0] if bits[0] else 1.0 - w[:, 0]
-    wy = w[:, 1] if bits[1] else 1.0 - w[:, 1]
-    wz = w[:, 2] if bits[2] else 1.0 - w[:, 2]
-    return wx * wy * wz
+    fbits = jnp.asarray(_CORNERS, x.dtype)[None, :, :, None]  # [1, 8, 3, 1]
+    axis_fac = fbits * w[:, None] + (1.0 - fbits) * (1.0 - w[:, None])  # [L, 8, 3, N]
+    return idx, axis_fac, offset
 
 
 def _hash_lookup_impl(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    n = x.shape[0]
+    idx, axis_fac, _ = _grid_geometry(x, spec)
+    cw = axis_fac[:, :, 0] * axis_fac[:, :, 1] * axis_fac[:, :, 2]  # [L, 8, N]
+    flat_idx = idx.reshape(-1)  # [L*8*N]
     outs = []
-    for level in range(spec.num_levels):
-        base, w, _ = _level_axis_weights(x, level, spec)
-        acc = None
-        for bits in _CORNERS:
-            idx = _corner_index(base, bits, level, spec)
-            feats = jnp.take(table, idx, axis=0)  # [N, F]
-            contrib = feats * _corner_weight(w, bits)[:, None]
-            acc = contrib if acc is None else acc + contrib
-        outs.append(acc)
-    return jnp.concatenate(outs, axis=-1)
+    for f in range(spec.features_per_level):
+        feats = jnp.take(table[:, f], flat_idx).reshape(idx.shape)  # [L, 8, N]
+        outs.append(jnp.sum(cw * feats, axis=1))  # [L, N]
+    out = jnp.stack(outs, axis=1)  # [L, F, N]
+    return out.transpose(2, 0, 1).reshape(n, spec.out_dim)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -186,47 +188,48 @@ def _hash_lookup_bwd(spec, residuals, g):
     intermediates are recomputed, so activations never exceed [N, 8, F].
     """
     table, x = residuals
-    f = spec.features_per_level
-    d_table = jnp.zeros_like(table)
-    d_x = jnp.zeros_like(x)
+    n = x.shape[0]
+    nf = spec.features_per_level
 
-    for level in range(spec.num_levels):
-        base, w, offset = _level_axis_weights(x, level, spec)
-        g_l = g[:, level * f : (level + 1) * f]  # [N, F]
+    idx, axis_fac, offset = _grid_geometry(x, spec)  # recomputed, not stored
+    cw = axis_fac[:, :, 0] * axis_fac[:, :, 1] * axis_fac[:, :, 2]  # [L, 8, N]
+    flat_idx = idx.reshape(-1)
 
-        dw_sum = jnp.zeros_like(x)  # d out / d w accumulated over corners
-        for bits in _CORNERS:
-            idx = _corner_index(base, bits, level, spec)
-            axis_facs = [
-                (w[:, d] if bits[d] else 1.0 - w[:, d]) for d in range(3)
-            ]  # each [N]
-            cw = axis_facs[0] * axis_facs[1] * axis_facs[2]
+    g_lfn = g.reshape(n, spec.num_levels, nf).transpose(1, 2, 0)  # [L, F, N]
 
-            # table gradient: scatter-add cw * g_l at idx
-            d_table = d_table.at[idx].add(cw[:, None] * g_l)
+    # ---- table gradient: one flat scatter-add per feature column
+    cols = []
+    fg = jnp.zeros_like(cw)  # sum_f feats_f * g_f, for the position grad
+    for f in range(nf):
+        updates = cw * g_lfn[:, f][:, None, :]  # [L, 8, N]
+        col = jnp.zeros((table.shape[0],), table.dtype).at[flat_idx].add(
+            updates.reshape(-1)
+        )
+        cols.append(col)
+        feats = jnp.take(table[:, f], flat_idx).reshape(idx.shape)
+        fg = fg + feats * g_lfn[:, f][:, None, :]
+    d_table = jnp.stack(cols, axis=-1)  # [L*T, F]
 
-            # position gradient chain
-            feats = jnp.take(table, idx, axis=0)  # [N, F]
-            fg = jnp.sum(feats * g_l, axis=-1)  # [N]
-            # d cw/d w_d = sign_d * prod of the other two axis factors
-            dcw = jnp.stack(
-                [
-                    (1.0 if bits[0] else -1.0) * axis_facs[1] * axis_facs[2],
-                    (1.0 if bits[1] else -1.0) * axis_facs[0] * axis_facs[2],
-                    (1.0 if bits[2] else -1.0) * axis_facs[0] * axis_facs[1],
-                ],
-                axis=-1,
-            )  # [N, 3]
-            dw_sum = dw_sum + fg[:, None] * dcw
+    # ---- position gradient: d cw/d w_d = sign_d * prod of other axis factors
+    signs = (2.0 * jnp.asarray(_CORNERS, x.dtype) - 1.0)[None, :, :, None]  # [1,8,3,1]
+    partial = jnp.stack(
+        [
+            axis_fac[:, :, 1] * axis_fac[:, :, 2],
+            axis_fac[:, :, 0] * axis_fac[:, :, 2],
+            axis_fac[:, :, 0] * axis_fac[:, :, 1],
+        ],
+        axis=2,
+    )  # [L, 8, 3, N]
+    dw = jnp.sum(fg[:, :, None, :] * signs * partial, axis=1)  # [L, 3, N]
 
-        if spec.interpolation == "Smoothstep":
-            dw_doff = 6.0 * offset * (1.0 - offset)
-        elif spec.interpolation == "Linear":
-            dw_doff = jnp.ones_like(offset)
-        else:  # Nearest
-            dw_doff = jnp.zeros_like(offset)
-        res = float(spec.resolutions[level])
-        d_x = d_x + dw_sum * dw_doff * res
+    if spec.interpolation == "Smoothstep":
+        dw_doff = 6.0 * offset * (1.0 - offset)
+    elif spec.interpolation == "Linear":
+        dw_doff = jnp.ones_like(offset)
+    else:  # Nearest
+        dw_doff = jnp.zeros_like(offset)
+    res = jnp.asarray(spec.resolutions, x.dtype)[:, None, None]
+    d_x = jnp.sum(dw * dw_doff * res, axis=0).T  # [N, 3]
 
     return d_table, d_x
 
