@@ -183,6 +183,24 @@ class Evaluator:
         ds = self.eval_dataset if split == "eval" else self.train_dataset
         return self.render_view(state, ds, mod, frame_index)
 
+    def render_specific_views(self, state: TrainState, view_ids) -> Dict[str, Dict[int, dict]]:
+        """Render an arbitrary mix of train/eval view ids per modality
+        (reference render_specific_views, evaluator.py:477-500)."""
+        out: Dict[str, Dict[int, dict]] = {}
+        for mod in self.train_dataset.modalities:
+            out[mod] = {}
+            for vid in view_ids:
+                for split, ds in (("eval", self.eval_dataset), ("train", self.train_dataset)):
+                    ids = list(ds.data[mod].frame_ids) if mod in ds.data else []
+                    if vid in ids:
+                        fi = ids.index(vid)
+                        frames = self.render_view(state, ds, mod, fi)
+                        out[mod][vid] = frames
+                        if self.output_dir is not None:
+                            self.export_view(frames, mod, vid, int(state.step))
+                        break
+        return out
+
     # -------------------------------------------------------------- exports
     def export_view(
         self, frames: Dict[str, np.ndarray], mod: str, frame_index: int, step: int

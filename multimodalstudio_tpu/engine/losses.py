@@ -26,6 +26,9 @@ class RadianceLossSpec:
     weight: float = 1.0
     saturation_threshold: Optional[float] = None  # SkipSaturationLoss when set
     per_channel_probability: Optional[Tuple[float, ...]] = None  # channel decimation
+    # optional weight scheduler: any spec with .factor(step, max_iters)
+    # (reference loss-weight scheduling, losses.py:101-102)
+    scheduler: Optional[object] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -120,7 +123,10 @@ def compute_losses(
         lspec = spec.radiance_spec(mod)
         loss = radiance_loss(lspec, outputs[mod], targets[mod], r)
         losses[mod] = loss
-        total = total + lspec.weight * loss
+        weight = lspec.weight
+        if lspec.scheduler is not None:
+            weight = weight * lspec.scheduler.factor(step, max_iters)
+        total = total + weight * loss
 
     if train:
         g = spec.geometry

@@ -83,6 +83,27 @@ class MultiStepWarmupSpec:
 
 
 @dataclasses.dataclass(frozen=True)
+class ExponentialDecaySpec:
+    """jaxnerf log-lerp decay (reference schedulers.py:45-77)."""
+
+    lr_final_ratio: float = 0.1  # final/initial factor
+    lr_delay_steps_ratio: float = 0.0
+    lr_delay_mult: float = 1.0
+
+    def factor(self, step: jnp.ndarray, max_iters: int) -> jnp.ndarray:
+        delay_steps = int(max_iters * self.lr_delay_steps_ratio)
+        if delay_steps > 0:
+            delay = self.lr_delay_mult + (1 - self.lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / delay_steps, 0.0, 1.0)
+            )
+        else:
+            delay = 1.0
+        t = jnp.clip(step / max_iters, 0.0, 1.0)
+        log_lerp = jnp.exp(jnp.log(1.0) * (1 - t) + jnp.log(self.lr_final_ratio) * t)
+        return delay * log_lerp
+
+
+@dataclasses.dataclass(frozen=True)
 class NeuSSchedulerSpec:
     """Warm-up then cosine decay (reference schedulers.py:273-294)."""
 

@@ -15,6 +15,32 @@ import jax.numpy as jnp
 from multimodalstudio_tpu.core.rays import RayBundle
 
 
+def near_far_collide(
+    rays: RayBundle, near: float, far: float
+) -> Tuple[RayBundle, jnp.ndarray]:
+    """Constant near/far bounds; every ray hits (SceneBox collider_type
+    'near_far', reference data/scene_box.py)."""
+    n = rays.origins.shape[0]
+    nears = jnp.full((n, 1), near, rays.origins.dtype)
+    fars = jnp.full((n, 1), far, rays.origins.dtype)
+    return rays.replace(nears=nears, fars=fars), jnp.ones((n,), rays.origins.dtype)
+
+
+def box_collide(rays: RayBundle, aabb) -> Tuple[RayBundle, jnp.ndarray]:
+    """Axis-aligned box intersection (SceneBox collider_type 'box')."""
+    lo = jnp.asarray(aabb[0], rays.origins.dtype)
+    hi = jnp.asarray(aabb[1], rays.origins.dtype)
+    inv = 1.0 / jnp.where(jnp.abs(rays.directions) < 1e-9, 1e-9, rays.directions)
+    t0 = (lo - rays.origins) * inv
+    t1 = (hi - rays.origins) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1, keepdims=True)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1, keepdims=True)
+    mask = ((tmax > tmin) & (tmax > 0.0))[:, 0].astype(rays.origins.dtype)
+    nears = jnp.maximum(tmin, 0.01)
+    fars = jnp.maximum(tmax, nears + 0.01)
+    return rays.replace(nears=nears, fars=fars), mask
+
+
 def sphere_collide(rays: RayBundle, radius: float = 1.0) -> Tuple[RayBundle, jnp.ndarray]:
     """Ray-sphere intersection near/far + hit mask (scene_colliders.py:60-80).
 

@@ -79,6 +79,9 @@ class SurfaceModelSpec:
     compute_hessian: bool = False
     variance_init: float = 0.3
     anneal_end_ratio: float = 0.05
+    rendering: str = "neus"  # neus | volsdf (reference volume_rendering.py:161-268)
+    beta_min: float = 1e-4  # VolSDF Laplace density floor
+    contraction_order: Optional[float] = None  # spatial distortion (off by default)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -91,6 +94,7 @@ class RadianceModelSpec:
     use_reflection_direction: bool = True
     use_n_dot_v: bool = True
     radiance_feature_dim: int = 256
+    contraction_order: Optional[float] = None  # spatial distortion (off by default)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -117,7 +121,13 @@ class ModelSpec:
     background: BackgroundModelSpec = BackgroundModelSpec()
     use_background: bool = True
     scene_radius: float = 1.0
-    background_color: str = "None"  # None | white | black (reference renderers.py:63-73)
+    collider_type: str = "sphere"  # sphere | near_far | box (scene_colliders.py)
+    near_far: Tuple[float, float] = (0.05, 4.0)
+    aabb: Tuple[Tuple[float, float, float], Tuple[float, float, float]] = (
+        (-1.0, -1.0, -1.0),
+        (1.0, 1.0, 1.0),
+    )
+    background_color: str = "None"  # None | white | black | random (renderers.py:63-73)
 
     def head_spec(self, mod: str) -> HeadSpec:
         for name, spec in self.heads:
@@ -155,6 +165,7 @@ class MMSModel:
     def __init__(self, spec: ModelSpec):
         self.spec = spec
         self.sdf_field = SDFField(spec.surface.surface_field)
+        # NeuS single-variance or VolSDF Laplace beta (volume_rendering.py:101-130)
         self.variance = SingleVariance(spec.surface.variance_init)
         self.radiance_field = RadianceField(
             spec.radiance.radiance_field, output_dim=spec.radiance.radiance_feature_dim
@@ -214,8 +225,15 @@ class MMSModel:
 
     # ----------------------------------------------------------- field evals
     def sdf_geo(self, params, positions: jnp.ndarray, active_level) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """positions [..., 3] -> (sdf [...], geo_feature [..., G])."""
+        """positions [..., 3] -> (sdf [...], geo_feature [..., G]).
+
+        Applies the surface spatial distortion first, so gradients are
+        computed in contracted space like the reference
+        (surface_model.py:75-77, 132-135).
+        """
         flat = positions.reshape(-1, 3)
+        if self.spec.surface.contraction_order is not None:
+            flat = scene_contraction(flat, self.spec.surface.contraction_order)
         sdf, geo = self.sdf_field.apply({"params": params["surface_field"]}, flat, active_level)
         return sdf.reshape(positions.shape[:-1]), geo.reshape(*positions.shape[:-1], -1)
 
@@ -224,6 +242,10 @@ class MMSModel:
 
     def inv_s(self, params) -> jnp.ndarray:
         return self.variance.apply({"params": params["variance"]})[0]
+
+    def beta(self, params) -> jnp.ndarray:
+        """VolSDF Laplace beta: |raw| + beta_min (volume_rendering.py:122-124)."""
+        return jnp.abs(params["variance"]["s"][0]) + self.spec.surface.beta_min
 
     # ------------------------------------------------------------- gradients
     def sdf_gradients(
@@ -329,7 +351,16 @@ class MMSModel:
         spec = self.spec
         rng_roi, rng_bg = jax.random.split(rng) if rng is not None else (None, None)
 
-        collided, mask = sphere_collide(rays, spec.scene_radius)
+        if spec.collider_type == "near_far":
+            from multimodalstudio_tpu.models.colliders import near_far_collide
+
+            collided, mask = near_far_collide(rays, *spec.near_far)
+        elif spec.collider_type == "box":
+            from multimodalstudio_tpu.models.colliders import box_collide
+
+            collided, mask = box_collide(rays, spec.aabb)
+        else:
+            collided, mask = sphere_collide(rays, spec.scene_radius)
 
         samples = neus_sampling(
             collided,
@@ -350,8 +381,17 @@ class MMSModel:
         sdf, geo, gradients, hessians = self.sdf_gradients(params, positions, schedules, train)
         norm = jnp.linalg.norm(gradients, axis=-1, keepdims=True)
         normals = gradients / jnp.maximum(norm, 1e-12)
-        inv_s = self.inv_s(params)
-        weights = neus_weights(samples, sdf, gradients, inv_s, schedules.cos_anneal_ratio)
+        if spec.surface.rendering == "volsdf":
+            from multimodalstudio_tpu.core.rays import weights_from_densities
+            from multimodalstudio_tpu.models.volume_rendering import laplace_density
+
+            beta = self.beta(params)
+            density = laplace_density(sdf, beta, spec.surface.beta_min)
+            weights = weights_from_densities(samples.deltas, density)
+            inv_s = beta  # logged as 'beta'
+        else:
+            inv_s = self.inv_s(params)
+            weights = neus_weights(samples, sdf, gradients, inv_s, schedules.cos_anneal_ratio)
 
         # ---- radiance
         radiance = self._radiance_forward(params, samples, normals, geo, segments, aligned)
@@ -361,12 +401,13 @@ class MMSModel:
         acc = jnp.sum(weights, axis=-1, keepdims=True)  # [N, 1]
         m = mask[:, None]
 
+        rng_bgcolor = rng if rng is not None else jax.random.key(0)
         for mod, seg in self._iter_segments(segments, aligned):
             w = weights if aligned else weights[seg]
             a = acc if aligned else acc[seg]
             mm = m if aligned else m[seg]
             comp = jnp.sum(w[..., None] * radiance[mod], axis=-2)  # [n, C]
-            bg = self._background_color(mod, background, comp.shape)
+            bg = self._background_color(mod, background, comp.shape, rng_bgcolor)
             rendered = comp + bg * (1.0 - a)
             outputs[mod] = mm * rendered + (1.0 - mm) * bg
 
@@ -396,10 +437,13 @@ class MMSModel:
                 yield mod, slice(offset, offset + n)
                 offset += n
 
-    def _background_color(self, mod, background, shape):
+    def _background_color(self, mod, background, shape, rng=None):
+        """Escape radiance per ray (reference renderers.py:63-73)."""
         bgc = self.spec.background_color
         if bgc == "white":
             return jnp.ones(shape)
+        if bgc == "random":
+            return jax.random.uniform(rng, shape)
         if bgc == "black" or background is None:
             return jnp.zeros(shape)
         return background[mod]
@@ -409,6 +453,8 @@ class MMSModel:
         spec = self.spec.radiance
         n, s = samples.num_rays, samples.num_samples
         pos = samples.start_positions().reshape(-1, 3)
+        if spec.contraction_order is not None:
+            pos = scene_contraction(pos, spec.contraction_order)
         dirs = jnp.broadcast_to(samples.directions[:, None, :], (n, s, 3)).reshape(-1, 3)
         ups = jnp.broadcast_to(samples.up_directions[:, None, :], (n, s, 3)).reshape(-1, 3)
         nrm = jax.lax.stop_gradient(normals.reshape(-1, 3))

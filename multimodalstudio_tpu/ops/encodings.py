@@ -79,6 +79,8 @@ class HashGridSpec:
     log2_hashmap_size: int = 19
     hash_init_scale: float = 0.001
     interpolation: str = "Smoothstep"  # Nearest | Linear | Smoothstep
+    dense: bool = False  # DenseGrid: require collision-free indexing at every
+    # level (reference DenseEncoding, encodings.py:312-366)
 
     @property
     def growth_factor(self) -> float:
@@ -136,6 +138,12 @@ def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec):
     dense = cu[:, :, 0] + cu[:, :, 1] * stride + cu[:, :, 2] * stride * stride
 
     dense_mask = (res_i.astype(np.int64) + 1) ** 3 <= spec.table_size  # [L] static
+    if spec.dense and not dense_mask.all():
+        bad = res_i[~dense_mask]
+        raise ValueError(
+            f"dense grid requested but levels with res {bad.tolist()} exceed "
+            f"table size 2^{spec.log2_hashmap_size}; raise log2_hashmap_size"
+        )
     idx = jnp.where(jnp.asarray(dense_mask)[:, None, None], dense, hashed)
     level_offsets = (
         jnp.arange(spec.num_levels, dtype=jnp.uint32) * np.uint32(spec.table_size)

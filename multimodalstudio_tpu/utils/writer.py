@@ -110,6 +110,23 @@ class TensorboardWriter:
                 self.writer.add_scalar(f"time/{name}", float(np.mean(q)), step)
 
 
+class WandbWriter:
+    """Weights & Biases writer (reference writer.py:295-317); requires the
+    optional `wandb` package."""
+
+    def __init__(self, log_dir: str, project: str = "mms-tpu"):
+        import wandb
+
+        self.run = wandb.init(project=project, dir=log_dir, reinit=True)
+        self.wandb = wandb
+
+    def write(self, buffer: EventBuffer, step: int, max_steps: int):
+        payload = dict(buffer.scalars)
+        for k, img in buffer.images.items():
+            payload[k] = self.wandb.Image(img)
+        self.run.log(payload, step=step)
+
+
 class Writer:
     """Front-end: buffer + registered writers, flushed on cadence
     (reference writer.py:42-172)."""
@@ -119,6 +136,7 @@ class Writer:
         log_dir: Optional[str] = None,
         use_tensorboard: bool = True,
         use_local: bool = True,
+        use_wandb: bool = False,
         max_buffer_size: int = 20,
     ):
         self.buffer = EventBuffer(max_buffer_size)
@@ -130,6 +148,11 @@ class Writer:
                 self.writers.append(TensorboardWriter(os.path.join(log_dir, "tb")))
             except ImportError:
                 pass
+        if use_wandb and log_dir is not None:
+            try:
+                self.writers.append(WandbWriter(log_dir))
+            except ImportError:
+                print("wandb not installed; skipping WandbWriter")
 
     def put_scalar(self, name, value, step):
         self.buffer.put_scalar(name, value, step)
