@@ -24,8 +24,12 @@ from multimodalstudio_tpu.data.sampler import PixelBatch
 
 @struct.dataclass
 class DeviceModalityCache:
-    images: jnp.ndarray  # [F, H, W, C] uint16 or float32
-    mosaick_mask: jnp.ndarray  # [H, W] int32 (zeros when not raw)
+    # frames stored FLAT [F*H*W, C]: gathers use linearized indices — XLA TPU
+    # compiles a multi-index-vector gather orders of magnitude slower than a
+    # flat row gather
+    images: jnp.ndarray  # [F*H*W, C] uint16 or float32
+    mosaick_mask: jnp.ndarray  # [H*W] int32 (zeros when not raw)
+    shape: tuple = struct.field(pytree_node=False, default=())  # (F, H, W)
     scale: float = struct.field(pytree_node=False, default=1.0)  # dequant factor
     pixel_offset: float = struct.field(pytree_node=False, default=0.5)
 
@@ -51,9 +55,11 @@ def build_device_cache(dataset: MMSDataset, quantize: bool = True) -> DeviceData
             if dataset.raw and d.mosaick_mask is not None
             else np.zeros(imgs.shape[1:3], np.int32)
         )
+        f, h, w, c = imgs.shape
         out[mod] = DeviceModalityCache(
-            images=jnp.asarray(stored),
-            mosaick_mask=jnp.asarray(mask),
+            images=jnp.asarray(stored.reshape(f * h * w, c)),
+            mosaick_mask=jnp.asarray(mask.reshape(h * w)),
+            shape=(f, h, w),
             scale=scale,
             pixel_offset=d.cameras.pixel_offset,
         )
@@ -71,14 +77,14 @@ def sample_pixel_batch(
     keys = jax.random.split(rng, len(modalities))
     for key, mod in zip(keys, modalities):
         c = cache.data[mod]
-        f, h, w = c.images.shape[:3]
+        f, h, w = c.shape
         kf, ky, kx = jax.random.split(key, 3)
         n = num_rays_per_modality
         fi = jax.random.randint(kf, (n,), 0, f)
         yi = jax.random.randint(ky, (n,), 0, h)
         xi = jax.random.randint(kx, (n,), 0, w)
-        pixels = c.images[fi, yi, xi].astype(jnp.float32) * c.scale
-        chan = c.mosaick_mask[yi, xi]
+        pixels = jnp.take(c.images, (fi * h + yi) * w + xi, axis=0).astype(jnp.float32) * c.scale
+        chan = jnp.take(c.mosaick_mask, yi * w + xi)
         coords = jnp.stack([yi, xi], axis=-1).astype(jnp.float32) + c.pixel_offset
         batch[mod] = PixelBatch(
             camera_indices=fi.astype(jnp.int32),

@@ -251,10 +251,20 @@ class Trainer:
                 jax.tree.map(float, aux["metrics"]), step, prefix="eval/"
             )
         if self._has_eval() and check_step(step, config.steps_per_eval_image):
+            import time as _time
+
             mod = config.modalities[0]
+            t0 = _time.perf_counter()
             frames = self.evaluator.render_single_view(self.state, mod, 0)
+            dt = _time.perf_counter() - t0
+            n_rays = frames[mod].shape[0] * frames[mod].shape[1]
+            from multimodalstudio_tpu.utils.writer import TEST_RAYS_PER_SEC
+
+            self.writer.put_time(TEST_RAYS_PER_SEC, n_rays / dt, step)
             metrics = self.evaluator.view_metrics(frames, mod)
             self.writer.put_dict(metrics, step, prefix=f"eval_image/{mod}/")
+            render = np.clip(frames[mod][..., :3], 0, 1)
+            self.writer.put_image(f"eval_image/{mod}", render, step)
             if self.output_dir:
                 self.evaluator.export_view(frames, mod, 0, step)
         if self._has_eval() and check_step(step, config.steps_per_eval_all_images):

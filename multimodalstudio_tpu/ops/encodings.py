@@ -81,6 +81,11 @@ class HashGridSpec:
     interpolation: str = "Smoothstep"  # Nearest | Linear | Smoothstep
     dense: bool = False  # DenseGrid: require collision-free indexing at every
     # level (reference DenseEncoding, encodings.py:312-366)
+    # "custom": memory-lean custom VJP (recomputes indices in backward) —
+    #   reverse-mode only. "autodiff": plain XLA AD — supports jax.jvp, so
+    #   forward-mode SDF gradients reuse (CSE) the primal gathers instead of
+    #   paying 4 extra numerical-tap field evaluations.
+    vjp_mode: str = "custom"
 
     @property
     def growth_factor(self) -> float:
