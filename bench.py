@@ -16,6 +16,8 @@ import time
 
 import jax
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
 
 def main():
     from multimodalstudio_tpu.configs.methods import method_configs
@@ -26,9 +28,9 @@ def main():
 
     modalities = ("rgb", "infrared", "mono", "polarization", "multispectral")
     n_rays = 2048  # reference training batch: 2048 rays/modality (BASELINE.md)
-    steps_per_call = 20
+    steps_per_call = 20  # dispatches per measurement; program is K=1
 
-    cfg = method_configs()["grid_raw"]
+    cfg = method_configs()["grid_raw_tpu"]
     cfg = dataclasses.replace(
         cfg,
         modalities=modalities,
@@ -46,7 +48,7 @@ def main():
     state = init_train_state(
         cfg, model, jax.random.key(0), {m: 10 for m in modalities}
     )
-    fused = make_fused_train_fn(cfg, model, cameras, cache, steps_per_call)
+    fused = make_fused_train_fn(cfg, model, cameras, cache, 1)
     rng = jax.random.key(1)
 
     # warmup / compile
@@ -56,8 +58,9 @@ def main():
     n_calls = 5
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        state, aux = fused(state, rng)
-    jax.block_until_ready(state.params["model"])
+        for _ in range(steps_per_call):
+            state, aux = fused(state, rng)
+        jax.block_until_ready(state.params["model"])
     dt = time.perf_counter() - t0
 
     steps = n_calls * steps_per_call
@@ -67,7 +70,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec_per_chip (grid_raw, 5 modalities)",
+                "metric": "train_rays_per_sec_per_chip (grid_raw_tpu, 5 modalities)",
                 "value": round(rays_per_sec),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / 2_000_000, 4),

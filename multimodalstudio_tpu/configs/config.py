@@ -117,6 +117,25 @@ class TrainerConfig:
         return OptimizerSpec()
 
 
+def apply_mixed_precision(config: "TrainerConfig") -> "TrainerConfig":
+    """Set every MLP's compute dtype to bfloat16 (the reference's 16-mixed
+    precision, trainer.py:57-63). Parameters and reductions stay float32."""
+    from multimodalstudio_tpu.fields.mlp import MLPSpec
+
+    def walk(obj):
+        if isinstance(obj, MLPSpec):
+            return dataclasses.replace(obj, dtype="bfloat16")
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            return dataclasses.replace(
+                obj, **{f.name: walk(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+            )
+        if isinstance(obj, tuple):
+            return tuple(walk(v) for v in obj)
+        return obj
+
+    return walk(config)
+
+
 def _apply_overrides(obj: Any, overrides: Dict[str, Any]) -> Any:
     """Recursively apply YAML leaf overrides onto a frozen dataclass tree.
 

@@ -328,6 +328,39 @@ def _grid_raw_grid_bg_unbalanced() -> TrainerConfig:
     return dataclasses.replace(base, method_name="grid_raw_grid_bg_unbalanced", model=model)
 
 
+def _grid_raw_tpu() -> TrainerConfig:
+    """TPU-tuned flagship: grid_raw with analytic forward-mode SDF gradients
+    (primal hash gathers CSE with the value computation — replaces the 4
+    numerical taps), coarse-level-only sampler queries, bf16 matmuls, and
+    microbatched gradient accumulation. Rendering math is unchanged; the
+    gradient estimator and sampler-query precision differ from the reference
+    recipe (see docs/parity.md perf notes)."""
+    import dataclasses as dc
+
+    from multimodalstudio_tpu.configs.config import apply_mixed_precision
+
+    base = _raw(_grid_config(), "grid_raw_tpu")
+    sf = base.model.surface.surface_field
+    grid_ad = dc.replace(
+        sf.field.grid, encoding=dc.replace(sf.field.grid.encoding, vjp_mode="autodiff")
+    )
+    surface = dc.replace(
+        base.model.surface,
+        use_numerical_gradients=False,
+        compute_hessian=True,
+        sampler_levels=8,
+        surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid_ad)),
+    )
+    model = dc.replace(base.model, surface=surface)
+    cfg = dc.replace(
+        base,
+        model=model,
+        mixed_precision=True,
+        datamanager=dc.replace(base.datamanager, microbatch_rays=512),
+    )
+    return apply_mixed_precision(cfg)
+
+
 def method_configs() -> Dict[str, TrainerConfig]:
     grid = _grid_config()
     mlp = _mlp_config()
@@ -340,4 +373,5 @@ def method_configs() -> Dict[str, TrainerConfig]:
         "grid_raw_unbalanced": _unbalanced(_raw(grid, "grid_raw"), "grid_raw_unbalanced"),
         "grid_decimated": _grid_decimated(),
         "grid_raw_grid_bg_unbalanced": _grid_raw_grid_bg_unbalanced(),
+        "grid_raw_tpu": _grid_raw_tpu(),
     }

@@ -275,6 +275,11 @@ def make_fused_train_fn(
         )
 
     def multi_step(state: TrainState, rng: jax.Array):
+        if steps_per_call == 1:
+            # no scan wrapper: dispatch is cheap and the scanned program
+            # compiles an order of magnitude slower
+            return one_step(state, rng)
+
         def body(carry, _):
             new_state, aux = one_step(carry, rng)
             return new_state, aux  # aux holds only scalars

@@ -101,8 +101,10 @@ class Trainer:
             cache = build_device_cache(
                 self.train_dataset, config.datamanager.quantize_cache
             )
+            # K=1 program, dispatched K times per host chunk: dispatch through
+            # PJRT is cheap while a scanned K-step program compiles ~10x slower
             self.fused_train = make_fused_train_fn(
-                config, self.model, self.cameras, cache, self.steps_per_call
+                config, self.model, self.cameras, cache, 1
             )
         else:
             self.train_step = make_train_step(config, self.model, self.cameras)
@@ -195,7 +197,8 @@ class Trainer:
         for start in range(self.step_start, config.max_num_iterations, k):
             step = start + k - 1
             with TimeWriter(self.writer, ITER_TRAIN_TIME, step) as t:
-                self.state, aux = self.fused_train(self.state, self.rng)
+                for _ in range(k):  # async chain; one sync per chunk
+                    self.state, aux = self.fused_train(self.state, self.rng)
                 jax.block_until_ready(self.state.params["model"])
             self.writer.buffer.times[ITER_TRAIN_TIME][-1] = t.duration / k
             self.writer.put_time(TRAIN_RAYS_PER_SEC, k * n_rays_step / t.duration, step)

@@ -57,13 +57,16 @@ class FeatureGrid(nn.Module):
     spec: FeatureGridSpec
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, active_level: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, active_level: Optional[jnp.ndarray] = None,
+        max_level: Optional[int] = None,
+    ) -> jnp.ndarray:
         spec = self.spec
         rescaled = (x + spec.radius) / (2.0 * spec.radius)
         # clamp to the grid domain: numerical-gradient taps and background
         # samples can step slightly outside [-r, r]; tcnn clamps likewise
         rescaled = jnp.clip(rescaled, 0.0, 1.0 - 1e-6)
-        features = HashEncoding(spec.encoding, name="encoding")(rescaled)
+        features = HashEncoding(spec.encoding, name="encoding")(rescaled, max_level)
         if spec.coarse_to_fine and active_level is not None:
             fpl = spec.encoding.features_per_level
             level_of_feature = jnp.arange(spec.encoding.out_dim) // fpl
@@ -84,9 +87,14 @@ class FeatureGridAndMLP(nn.Module):
     output_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, active_level: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, active_level: Optional[jnp.ndarray] = None,
+        max_level: Optional[int] = None,
+    ) -> jnp.ndarray:
         positions = x[..., :3]
-        features = FeatureGrid(self.grid_spec, name="feature_grid")(positions, active_level)
+        features = FeatureGrid(self.grid_spec, name="feature_grid")(
+            positions, active_level, max_level
+        )
         if x.shape[-1] > 3:
             mlp_in = jnp.concatenate([positions, x[..., 3:], features], axis=-1)
         else:

@@ -49,12 +49,12 @@ class FieldComponent(nn.Module):
     output_dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, active_level=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, active_level=None, max_level=None) -> jnp.ndarray:
         if self.spec.grid is None:
             return MLP(self.spec.mlp, output_dim=self.output_dim, name="mlp")(x)
         return FeatureGridAndMLP(
             self.spec.grid, self.spec.mlp, output_dim=self.output_dim, name="grid_mlp"
-        )(x, active_level)
+        )(x, active_level, max_level)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,12 +78,14 @@ class SDFField(nn.Module):
     spec: SDFFieldSpec
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, active_level=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, active_level=None, max_level=None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         spec = self.spec
         inp = spec.position_encoding.apply(x) if spec.use_position_encoding else x
         out = FieldComponent(
             spec.field, output_dim=1 + spec.geo_feature_dim, name="field"
-        )(inp, active_level)
+        )(inp, active_level, max_level)
         return out[..., :1], out[..., 1:]
 
 

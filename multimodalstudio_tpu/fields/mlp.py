@@ -32,6 +32,9 @@ class MLPSpec:
     geometric_init: bool = False
     geometric_init_bias: float = 0.5
     inside_outside: bool = False
+    # compute dtype for the matmul chain (params stay float32; the MXU runs
+    # bf16 natively — the reference's 16-mixed precision, trainer.py:57-63)
+    dtype: str = "float32"  # float32 | bfloat16
 
 
 def make_activation(name: Optional[str], beta: float = 100.0) -> Callable:
@@ -61,6 +64,7 @@ class WNDense(nn.Module):
     use_weight_norm: bool = True
     kernel_init: Callable = nn.initializers.he_uniform()
     bias_init: Callable = nn.initializers.zeros_init()
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -72,6 +76,14 @@ class WNDense(nn.Module):
             w = g * kernel / jnp.maximum(norm, 1e-12)
         else:
             w = kernel
+        if self.dtype == "bfloat16":
+            out = jax.lax.dot_general(
+                x.astype(jnp.bfloat16),
+                w.astype(jnp.bfloat16),
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out + bias
         return x @ w + bias
 
 
@@ -189,6 +201,7 @@ class MLP(nn.Module):
                 use_weight_norm=spec.weight_norm,
                 kernel_init=kinit,
                 bias_init=binit,
+                dtype=spec.dtype,
                 name=f"layer_{layer}",
             )(x)
             if layer < n_layers - 1:

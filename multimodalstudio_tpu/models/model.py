@@ -82,6 +82,10 @@ class SurfaceModelSpec:
     rendering: str = "neus"  # neus | volsdf (reference volume_rendering.py:161-268)
     beta_min: float = 1e-4  # VolSDF Laplace density floor
     contraction_order: Optional[float] = None  # spatial distortion (off by default)
+    # NeuS-sampler SDF queries may use only the first k grid levels (the
+    # importance-sampling distribution needs coarse geometry only; bins are
+    # detached). None = all levels. Saves ~half the sampler's table gathers.
+    sampler_levels: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -224,7 +228,9 @@ class MMSModel:
         return finalize_weight_norm(params)
 
     # ----------------------------------------------------------- field evals
-    def sdf_geo(self, params, positions: jnp.ndarray, active_level) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def sdf_geo(
+        self, params, positions: jnp.ndarray, active_level, max_level: Optional[int] = None
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """positions [..., 3] -> (sdf [...], geo_feature [..., G]).
 
         Applies the surface spatial distortion first, so gradients are
@@ -234,11 +240,15 @@ class MMSModel:
         flat = positions.reshape(-1, 3)
         if self.spec.surface.contraction_order is not None:
             flat = scene_contraction(flat, self.spec.surface.contraction_order)
-        sdf, geo = self.sdf_field.apply({"params": params["surface_field"]}, flat, active_level)
+        sdf, geo = self.sdf_field.apply(
+            {"params": params["surface_field"]}, flat, active_level, max_level
+        )
         return sdf.reshape(positions.shape[:-1]), geo.reshape(*positions.shape[:-1], -1)
 
-    def sdf_only(self, params, positions: jnp.ndarray, active_level) -> jnp.ndarray:
-        return self.sdf_geo(params, positions, active_level)[0]
+    def sdf_only(
+        self, params, positions: jnp.ndarray, active_level, max_level: Optional[int] = None
+    ) -> jnp.ndarray:
+        return self.sdf_geo(params, positions, active_level, max_level)[0]
 
     def inv_s(self, params) -> jnp.ndarray:
         return self.variance.apply({"params": params["variance"]})[0]
@@ -364,7 +374,9 @@ class MMSModel:
 
         samples = neus_sampling(
             collided,
-            lambda pos: self.sdf_only(params, pos, schedules.active_level),
+            lambda pos: self.sdf_only(
+                params, pos, schedules.active_level, spec.surface.sampler_levels
+            ),
             spec.ray_sampler,
             rng_roi,
             train,

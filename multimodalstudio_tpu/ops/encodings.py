@@ -109,7 +109,7 @@ class HashGridSpec:
         return self.num_levels * self.features_per_level
 
 
-def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec):
+def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec, num_levels: Optional[int] = None):
     """Vectorized corner indices + interpolation data for ALL levels.
 
     x: [N, 3] in [0,1]. Returns (idx [L, 8, N] int32 flat table indices,
@@ -121,7 +121,9 @@ def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec):
     pads its minor dim to 128 (up to 16x HBM amplification); [.., 8, N] and
     [.., 3, N] shapes tile clean.
     """
-    res = jnp.asarray(spec.resolutions, x.dtype)  # [L]
+    n_levels = num_levels if num_levels is not None else spec.num_levels
+    res_np = spec.resolutions[:n_levels]
+    res = jnp.asarray(res_np, x.dtype)  # [L]
     x_t = x.T  # [3, N]
     scaled = res[:, None, None] * x_t[None]  # [L, 3, N]
     floor = jnp.floor(scaled)
@@ -138,7 +140,7 @@ def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec):
     hashed = hashed & np.uint32(spec.table_size - 1)  # [L, 8, N]
 
     # dense, collision-free index (coarse levels; Instant-NGP policy)
-    res_i = spec.resolutions
+    res_i = res_np
     stride = jnp.asarray((res_i + 1).astype(np.uint32))[:, None, None]  # [L,1,1]
     dense = cu[:, :, 0] + cu[:, :, 1] * stride + cu[:, :, 2] * stride * stride
 
@@ -151,7 +153,7 @@ def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec):
         )
     idx = jnp.where(jnp.asarray(dense_mask)[:, None, None], dense, hashed)
     level_offsets = (
-        jnp.arange(spec.num_levels, dtype=jnp.uint32) * np.uint32(spec.table_size)
+        jnp.arange(n_levels, dtype=jnp.uint32) * np.uint32(spec.table_size)
     )[:, None, None]
     idx = (idx + level_offsets).astype(jnp.int32)  # [L, 8, N]
 
@@ -169,9 +171,13 @@ def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec):
     return idx, axis_fac, offset
 
 
-def _hash_lookup_impl(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+def _hash_lookup_impl(
+    table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec,
+    num_levels: Optional[int] = None,
+) -> jnp.ndarray:
     n = x.shape[0]
-    idx, axis_fac, _ = _grid_geometry(x, spec)
+    k = num_levels if num_levels is not None else spec.num_levels
+    idx, axis_fac, _ = _grid_geometry(x, spec, k)
     cw = axis_fac[:, :, 0] * axis_fac[:, :, 1] * axis_fac[:, :, 2]  # [L, 8, N]
     flat_idx = idx.reshape(-1)  # [L*8*N]
     outs = []
@@ -179,7 +185,12 @@ def _hash_lookup_impl(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) ->
         feats = jnp.take(table[:, f], flat_idx).reshape(idx.shape)  # [L, 8, N]
         outs.append(jnp.sum(cw * feats, axis=1))  # [L, N]
     out = jnp.stack(outs, axis=1)  # [L, F, N]
-    return out.transpose(2, 0, 1).reshape(n, spec.out_dim)
+    out = out.transpose(2, 0, 1).reshape(n, k * spec.features_per_level)
+    if k < spec.num_levels:
+        # truncated query (coarse-only sampler path): zero-pad fine levels —
+        # identical to the coarse-to-fine mask zeroing them
+        out = jnp.pad(out, ((0, 0), (0, (spec.num_levels - k) * spec.features_per_level)))
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -250,7 +261,10 @@ def _hash_lookup_bwd(spec, residuals, g):
 _hash_lookup_vjp.defvjp(_hash_lookup_fwd, _hash_lookup_bwd)
 
 
-def hash_grid_lookup(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+def hash_grid_lookup(
+    table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec,
+    num_levels: Optional[int] = None,
+) -> jnp.ndarray:
     """Multiresolution hash-grid encoding.
 
     Args:
@@ -271,6 +285,10 @@ def hash_grid_lookup(table: jnp.ndarray, x: jnp.ndarray, spec: HashGridSpec) -> 
     encodings.py:256) otherwise. Golden-tested against an independent numpy
     implementation.
     """
+    if spec.vjp_mode == "autodiff" or num_levels is not None:
+        # plain XLA AD: jax.jvp-compatible, so forward-mode SDF gradients
+        # CSE their primal gathers with the value computation
+        return _hash_lookup_impl(table, x, spec, num_levels)
     return _hash_lookup_vjp(table, x, spec)
 
 
@@ -284,7 +302,7 @@ class HashEncoding(nn.Module):
     spec: HashGridSpec
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, num_levels: Optional[int] = None) -> jnp.ndarray:
         spec = self.spec
 
         def init(key, shape, dtype=jnp.float32):
@@ -296,4 +314,4 @@ class HashEncoding(nn.Module):
         table = self.param(
             "table", init, (spec.num_levels * spec.table_size, spec.features_per_level)
         )
-        return hash_grid_lookup(table, x, spec)
+        return hash_grid_lookup(table, x, spec, num_levels)
