@@ -39,21 +39,18 @@ class UniformPixelSampler:
         self.rng = np.random.default_rng(seed)
 
     def sample(self) -> Dict[str, PixelBatch]:
+        from multimodalstudio_tpu.data.native import sample_pixels
+
         batch = {}
         for mod in self.dataset.modalities:
             d = self.dataset.data[mod]
-            f, h, w, _ = d.images.shape
             n = self.num_rays
-            fi = self.rng.integers(0, f, size=n)
-            yi = self.rng.integers(0, h, size=n)
-            xi = self.rng.integers(0, w, size=n)
-            pixels = d.images[fi, yi, xi]  # [N, C]
-            if self.dataset.raw and d.mosaick_mask is not None:
-                chan = d.mosaick_mask[yi, xi].astype(np.int32)
-            else:
-                chan = np.zeros(n, np.int32)
-            off = d.cameras.pixel_offset
-            coords = np.stack([yi, xi], axis=-1).astype(np.float32) + off
+            mask = d.mosaick_mask if self.dataset.raw else None
+            # threaded C++ gather when native/ is built; numpy otherwise
+            fi, coords, pixels, chan = sample_pixels(
+                d.images, mask, n, int(self.rng.integers(0, 2**62)),
+                d.cameras.pixel_offset,
+            )
             batch[mod] = PixelBatch(
                 camera_indices=jnp.asarray(fi, jnp.int32),
                 pixel_coords=jnp.asarray(coords),

@@ -72,3 +72,28 @@ class TestColmapParsing:
         w2c[:3, :3] = r
         w2c[:3, 3] = t
         np.testing.assert_allclose(c2w @ w2c, np.eye(4), atol=1e-5)
+
+
+class TestNativeDataPath:
+    def test_sample_pixels_matches_frames(self):
+        import numpy as np
+
+        from multimodalstudio_tpu.data import native
+
+        imgs = np.random.rand(3, 16, 16, 4).astype(np.float32)
+        mask = np.tile(np.array([[0, 1], [3, 2]], np.int8), (8, 8))
+        fi, co, px, ch = native.sample_pixels(imgs, mask, 64, seed=7)
+        for i in range(64):
+            y, x = int(co[i, 0] - 0.5), int(co[i, 1] - 0.5)
+            np.testing.assert_allclose(px[i], imgs[fi[i], y, x])
+            assert ch[i] == mask[y, x]
+
+    def test_normalize_u16(self):
+        import numpy as np
+
+        from multimodalstudio_tpu.data import native
+
+        u = (np.random.rand(1000) * 65535).astype(np.uint16)
+        np.testing.assert_allclose(
+            native.normalize_u16(u), u.astype(np.float32) / 65535.0, atol=1e-7
+        )
