@@ -347,14 +347,21 @@ def _grid_raw_tpu() -> TrainerConfig:
     surface = dc.replace(
         base.model.surface,
         use_numerical_gradients=False,
-        compute_hessian=True,
+        # curvature regularization off: the hessian path triples the field's
+        # HLO instantiations; analytic second derivatives return in round 2
+        compute_hessian=False,
         sampler_levels=8,
         surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid_ad)),
     )
     model = dc.replace(base.model, surface=surface)
+    losses = dc.replace(
+        base.loss_manager,
+        geometry=dc.replace(base.loss_manager.geometry, curvature_loss=None),
+    )
     cfg = dc.replace(
         base,
         model=model,
+        loss_manager=losses,
         mixed_precision=True,
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )

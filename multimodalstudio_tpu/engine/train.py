@@ -113,28 +113,80 @@ def init_train_state(
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.asarray(0))
 
 
+def stack_cameras(cameras: Dict[str, Cameras], modalities) -> Tuple[Cameras, Dict[str, int]]:
+    """Concatenate per-modality camera tables into one, so ray generation for
+    all modalities is a single program region. Returns (stacked, index
+    offsets per modality). Requires a uniform camera type (MMS-DATA cameras
+    are all PINHOLE/OPENCV)."""
+    mods = list(modalities)
+    types = {cameras[m].camera_type for m in mods}
+    if len(types) > 1:
+        raise ValueError("stacked ray generation requires a uniform camera type")
+    any_dist = any(cameras[m].distortion_params is not None for m in mods)
+
+    def dist(m):
+        c = cameras[m]
+        if c.distortion_params is not None:
+            return c.distortion_params
+        return jnp.zeros((c.num_cameras, 6))
+
+    offsets = {}
+    off = 0
+    for m in mods:
+        offsets[m] = off
+        off += cameras[m].num_cameras
+    stacked = Cameras(
+        fx=jnp.concatenate([cameras[m].fx for m in mods]),
+        fy=jnp.concatenate([cameras[m].fy for m in mods]),
+        cx=jnp.concatenate([cameras[m].cx for m in mods]),
+        cy=jnp.concatenate([cameras[m].cy for m in mods]),
+        camera_to_worlds=jnp.concatenate([cameras[m].camera_to_worlds for m in mods]),
+        distortion_params=jnp.concatenate([dist(m) for m in mods]) if any_dist else None,
+        width=cameras[mods[0]].width,
+        height=cameras[mods[0]].height,
+        pixel_offset=cameras[mods[0]].pixel_offset,
+        camera_type=cameras[mods[0]].camera_type,
+    )
+    return stacked, offsets
+
+
 def build_rays(
     config: TrainerConfig,
     params: Any,
     cameras: Dict[str, Cameras],
     batch: Dict[str, PixelBatch],
 ) -> Tuple[RayBundle, Tuple[Tuple[str, int], ...]]:
-    """Per-modality ray generation + concatenation into one flat bundle.
+    """Ray generation for all modalities as ONE generate_rays call on stacked
+    camera tables (per-modality pose deltas still apply).
 
     Counterpart of reference src/model_components/ray_generators.py:43-81,
     inside jit (camera-optimizer exp maps included).
     """
-    bundles = []
-    segments = []
-    for mod in config.modalities:
-        pb = batch[mod]
-        opt = camera_opt_transform(
-            config.datamanager.camera_optimizer, params["camera_poses"], mod, pb.camera_indices
-        )
-        bundles.append(generate_rays(cameras[mod], pb.camera_indices, pb.pixel_coords, opt))
-        segments.append((mod, pb.pixel_coords.shape[0]))
-    flat = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *bundles)
-    return flat, tuple(segments)
+    stacked, offsets = stack_cameras(cameras, config.modalities)
+    segments = tuple(
+        (mod, batch[mod].pixel_coords.shape[0]) for mod in config.modalities
+    )
+    idx = jnp.concatenate(
+        [batch[mod].camera_indices + offsets[mod] for mod in config.modalities]
+    )
+    coords = jnp.concatenate([batch[mod].pixel_coords for mod in config.modalities])
+
+    opt_spec = config.datamanager.camera_optimizer
+    opt = None
+    if opt_spec.mode != "off" and params["camera_poses"]:
+        opts = []
+        for mod in config.modalities:
+            o = camera_opt_transform(
+                opt_spec, params["camera_poses"], mod, batch[mod].camera_indices
+            )
+            if o is None:
+                n = batch[mod].camera_indices.shape[0]
+                o = jnp.broadcast_to(jnp.eye(3, 4), (n, 3, 4))
+            opts.append(o)
+        opt = jnp.concatenate(opts)
+
+    flat = generate_rays(stacked, idx, coords, opt)
+    return flat, segments
 
 
 def select_mosaick_channels(

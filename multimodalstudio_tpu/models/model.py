@@ -277,21 +277,21 @@ class MMSModel:
         lvl = schedules.active_level
 
         if not spec.use_numerical_gradients:
-            f = lambda p: self.sdf_only(params, p, lvl)
+            # vmap(jacfwd) instantiates the field body ONCE with a batched
+            # tangent dim (vs 3 separate jvp calls): smaller HLO, bigger
+            # matmuls, and the primal gathers CSE with the value pass.
+            def f_single(p):  # [3] -> scalar
+                return self.sdf_only(params, p[None, :], lvl)[0]
 
-            def grad_fn(p):
-                def one(i):
-                    t = jnp.zeros((1,) * (p.ndim - 1) + (3,), p.dtype).at[..., i].set(1.0)
-                    return jax.jvp(f, (p,), (jnp.broadcast_to(t, p.shape),))[1]
-
-                return jnp.stack([one(0), one(1), one(2)], axis=-1)
-
+            flat = positions.reshape(-1, 3)
             sdf, geo = self.sdf_geo(params, positions, lvl)
-            gradients = grad_fn(positions)
+            gradients = jax.vmap(jax.jacfwd(f_single))(flat).reshape(positions.shape)
             hessians = None
             if train and spec.compute_hessian:
-                # H @ 1: directional derivative of the gradient along (1,1,1)
-                hessians = jax.jvp(grad_fn, (positions,), (jnp.ones_like(positions),))[1]
+                # rows of the hessian summed — H @ 1, matching the reference
+                # autograd hessian (surface_model.py:200-203)
+                hess = jax.vmap(jax.jacfwd(jax.jacfwd(f_single)))(flat)  # [M, 3, 3]
+                hessians = hess.sum(-1).reshape(*positions.shape[:-1], 3)
             return sdf, geo, gradients, hessians
 
         delta = schedules.numerical_delta
