@@ -286,9 +286,12 @@ def hash_grid_lookup(
     implementation.
     """
     if spec.vjp_mode == "autodiff" or num_levels is not None:
-        # plain XLA AD: jax.jvp-compatible, so forward-mode SDF gradients
-        # CSE their primal gathers with the value computation
-        return _hash_lookup_impl(table, x, spec, num_levels)
+        # plain XLA AD under remat: jax.jvp-compatible (forward-mode SDF
+        # gradients CSE their primal gathers with the value computation),
+        # and reverse-mode residuals stay (table, x) instead of the [L, 8, N]
+        # index/weight intermediates
+        fn = jax.checkpoint(lambda t, q: _hash_lookup_impl(t, q, spec, num_levels))
+        return fn(table, x)
     return _hash_lookup_vjp(table, x, spec)
 
 
