@@ -149,6 +149,37 @@ def pdf_sample_bins(
     return jax.lax.stop_gradient(new_bins)
 
 
+def merge_sorted(a: jnp.ndarray, b: jnp.ndarray, *value_pairs):
+    """Merge two per-row SORTED lists without sorting.
+
+    a: [N, Sa], b: [N, Sb] (each row ascending). Rank computation by
+    comparison counting (stable: ties keep a before b, matching argsort of
+    concat([a, b])), then a one-hot matmul places values — no XLA sort,
+    gather or scatter (TPU sorts cost hundreds of ms at these shapes).
+
+    value_pairs: optional (va [N, Sa], vb [N, Sb]) carried through with the
+    same permutation (the reference's sorted-index sdf merge,
+    ray_samplers.py:486-489).
+
+    Returns (merged [N, Sa+Sb], *merged_values).
+    """
+    n, sa = a.shape
+    sb = b.shape[1]
+    rank_a = jnp.arange(sa)[None] + jnp.sum(b[:, None, :] < a[:, :, None], axis=-1)
+    rank_b = jnp.arange(sb)[None] + jnp.sum(a[:, None, :] <= b[:, :, None], axis=-1)
+    k = jnp.arange(sa + sb)
+    oh_a = (rank_a[:, :, None] == k).astype(a.dtype)  # [N, Sa, S]
+    oh_b = (rank_b[:, :, None] == k).astype(a.dtype)  # [N, Sb, S]
+
+    def place(va, vb):
+        return jnp.einsum("ns,nsk->nk", va, oh_a) + jnp.einsum("ns,nsk->nk", vb, oh_b)
+
+    out = [place(a, b)]
+    for va, vb in value_pairs:
+        out.append(place(va, vb))
+    return tuple(out) if len(out) > 1 else out[0]
+
+
 def rendering_sdf_with_fixed_inv_s(
     euclid_bins: jnp.ndarray, sdf: jnp.ndarray, inv_s: float
 ) -> jnp.ndarray:
@@ -240,18 +271,16 @@ def neus_sampling(
             histogram_padding=1e-5,
         )  # [N, n_per_round+1]
         new_starts = new_edges[:, :-1]  # [N, n_per_round]
-
-        cat_starts = jnp.concatenate([bins[:, :-1], new_starts], axis=-1)
-        order = jnp.argsort(cat_starts, axis=-1)
-        sorted_starts = jnp.take_along_axis(cat_starts, order, axis=-1)
         end = jnp.maximum(bins[:, -1:], new_edges[:, -1:])
-        bins = jnp.concatenate([sorted_starts, end], axis=-1)
-        euclid = spacing_to_euclidean(bins, rays.nears, rays.fars, "uniform")
 
         if i < n_steps - 1:
             new_sdf = eval_sdf_at(new_starts)
-            sdf = jnp.take_along_axis(
-                jnp.concatenate([sdf, new_sdf], axis=-1), order, axis=-1
+            sorted_starts, sdf = merge_sorted(
+                bins[:, :-1], new_starts, (sdf, new_sdf)
             )
+        else:
+            sorted_starts = merge_sorted(bins[:, :-1], new_starts)
+        bins = jnp.concatenate([sorted_starts, end], axis=-1)
+        euclid = spacing_to_euclidean(bins, rays.nears, rays.fars, "uniform")
 
     return samples_from_bins(rays, euclid, bins)
