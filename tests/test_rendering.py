@@ -252,3 +252,47 @@ class TestMLP:
         assert mlp.apply({"params": params}, x).shape == (3, 2)
         # skip layer input widened by the network input dim
         assert params["layer_2"]["kernel"].shape[0] == 16 + 7
+
+
+class TestMergeSorted:
+    def test_matches_stable_argsort(self):
+        from multimodalstudio_tpu.models.samplers import merge_sorted
+
+        rng = np.random.default_rng(0)
+        a = np.sort(rng.random((16, 24)), -1)
+        b = np.sort(rng.random((16, 8)), -1)
+        va = rng.random((16, 24))
+        vb = rng.random((16, 8))
+        m, mv = merge_sorted(jnp.asarray(a), jnp.asarray(b), (jnp.asarray(va), jnp.asarray(vb)))
+        cat = np.concatenate([a, b], -1)
+        order = np.argsort(cat, -1, kind="stable")
+        np.testing.assert_allclose(m, np.take_along_axis(cat, order, -1), atol=1e-6)
+        np.testing.assert_allclose(
+            mv, np.take_along_axis(np.concatenate([va, vb], -1), order, -1), atol=1e-6
+        )
+
+    def test_with_duplicates(self):
+        from multimodalstudio_tpu.models.samplers import merge_sorted
+
+        a = jnp.asarray([[0.0, 0.5, 0.5, 1.0]])
+        b = jnp.asarray([[0.5, 0.5]])
+        m = merge_sorted(a, b)
+        np.testing.assert_allclose(m[0], [0.0, 0.5, 0.5, 0.5, 0.5, 1.0])
+
+
+class TestStackedCameras:
+    def test_stacked_matches_per_modality(self):
+        from multimodalstudio_tpu.cameras.cameras import generate_rays
+        from multimodalstudio_tpu.data.synthetic import make_synthetic_dataset
+        from multimodalstudio_tpu.engine.train import stack_cameras
+
+        ds = make_synthetic_dataset(("rgb", "mono"), num_views=3, height=16, width=16)
+        cams = {m: ds.data[m].cameras for m in ("rgb", "mono")}
+        stacked, offsets = stack_cameras(cams, ("rgb", "mono"))
+        assert offsets == {"rgb": 0, "mono": 3}
+        idx = jnp.asarray([0, 2], jnp.int32)
+        coords = jnp.asarray([[4.5, 8.5], [10.5, 3.5]])
+        per_mod = generate_rays(cams["mono"], idx, coords)
+        via_stack = generate_rays(stacked, idx + 3, coords)
+        np.testing.assert_allclose(per_mod.directions, via_stack.directions, atol=1e-6)
+        np.testing.assert_allclose(per_mod.origins, via_stack.origins, atol=1e-6)
