@@ -28,7 +28,7 @@ def main():
 
     modalities = ("rgb", "infrared", "mono", "polarization", "multispectral")
     n_rays = 2048  # reference training batch: 2048 rays/modality (BASELINE.md)
-    steps_per_call = 20  # dispatches per measurement; program is K=1
+    steps_per_call = 5  # dispatches per measurement; program is K=1
 
     cfg = method_configs()["grid_raw_tpu"]
     cfg = dataclasses.replace(
@@ -55,7 +55,7 @@ def main():
     state, aux = fused(state, rng)
     jax.block_until_ready(state.params["model"])
 
-    n_calls = 5
+    n_calls = 2
     t0 = time.perf_counter()
     for _ in range(n_calls):
         for _ in range(steps_per_call):

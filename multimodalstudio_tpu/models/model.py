@@ -277,21 +277,34 @@ class MMSModel:
         lvl = schedules.active_level
 
         if not spec.use_numerical_gradients:
-            # vmap(jacfwd) instantiates the field body ONCE with a batched
-            # tangent dim (vs 3 separate jvp calls): smaller HLO, bigger
-            # matmuls, and the primal gathers CSE with the value pass.
-            def f_single(p):  # [3] -> scalar
-                return self.sdf_only(params, p[None, :], lvl)[0]
+            # vmap(jacfwd(has_aux)) computes value, geo feature and gradient
+            # in ONE field pass: the body instantiates once with a batched
+            # tangent dim (vs 3 jvp calls + a separate primal evaluation —
+            # remat scopes otherwise block CSE between them).
+            def f_single(p):  # [3] -> (scalar, aux)
+                s, g = self.sdf_geo(params, p[None, :], lvl)
+                return s[0], (s[0], g[0])
 
             flat = positions.reshape(-1, 3)
-            sdf, geo = self.sdf_geo(params, positions, lvl)
-            gradients = jax.vmap(jax.jacfwd(f_single))(flat).reshape(positions.shape)
-            hessians = None
             if train and spec.compute_hessian:
                 # rows of the hessian summed — H @ 1, matching the reference
                 # autograd hessian (surface_model.py:200-203)
-                hess = jax.vmap(jax.jacfwd(jax.jacfwd(f_single)))(flat)  # [M, 3, 3]
+                def f_grad(p):
+                    jac, aux = jax.jacfwd(f_single, has_aux=True)(p)
+                    return jac, (jac, aux)
+
+                hess, (grads_flat, (sdf_flat, geo_flat)) = jax.vmap(
+                    jax.jacfwd(f_grad, has_aux=True)
+                )(flat)
                 hessians = hess.sum(-1).reshape(*positions.shape[:-1], 3)
+            else:
+                grads_flat, (sdf_flat, geo_flat) = jax.vmap(
+                    jax.jacfwd(f_single, has_aux=True)
+                )(flat)
+                hessians = None
+            sdf = sdf_flat.reshape(positions.shape[:-1])
+            geo = geo_flat.reshape(*positions.shape[:-1], -1)
+            gradients = grads_flat.reshape(positions.shape)
             return sdf, geo, gradients, hessians
 
         delta = schedules.numerical_delta
