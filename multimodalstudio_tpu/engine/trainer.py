@@ -280,8 +280,13 @@ class Trainer:
             self.evaluator.export_poses(self.state, step)
 
     def eval(self, view_ids=None):
-        """Full evaluation entry point (reference trainer.py:140-159)."""
-        results = self.evaluator.render_all_eval_views(self.state)
+        """Full evaluation entry point (reference trainer.py:140-159):
+        all eval views, or specific (train or eval) view ids."""
+        if view_ids:
+            self.evaluator.render_specific_views(self.state, view_ids)
+            results = {}
+        else:
+            results = self.evaluator.render_all_eval_views(self.state)
         if self.config.evaluator.export_mesh:
             self.evaluator.export_mesh(self.state, int(self.state.step))
         if self.config.evaluator.export_poses:

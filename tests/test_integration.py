@@ -347,3 +347,42 @@ class TestCameraRays:
         r1 = generate_rays(cams_dist, jnp.zeros(1, jnp.int32), jnp.asarray([[4.5, 4.5]]))
         # distorted camera bends the off-center ray outward (barrel k1>0 undistort)
         assert not np.allclose(np.asarray(r0.directions), np.asarray(r1.directions), atol=1e-5)
+
+
+class TestUnalignedDataset:
+    def test_per_modality_view_counts(self, tmp_path):
+        """Unaligned split: modalities train on different view sets
+        (reference BaseUnalignedDataset, datasets.py:364-442)."""
+        from multimodalstudio_tpu.data.dataset import load_dataset
+
+        scene = write_synthetic_scene(
+            str(tmp_path / "scene"), ("rgb", "mono"), num_views=6, height=16, width=16,
+            raw=True,
+        )
+        ds = load_dataset(
+            scene, ("rgb", "mono"),
+            {"rgb": [0, 1, 2, 3, 4, 5], "mono": [1, 3]},
+            raw=True,
+        )
+        assert ds.num_frames("rgb") == 6
+        assert ds.num_frames("mono") == 2
+        assert ds.unique_views() == [0, 1, 2, 3, 4, 5]
+        np.testing.assert_array_equal(ds.data["mono"].frame_ids, [1, 3])
+
+    def test_training_with_unaligned_counts(self, tmp_path):
+        from multimodalstudio_tpu.data.dataset import load_dataset
+        from multimodalstudio_tpu.data.sampler import UniformPixelSampler
+
+        scene = write_synthetic_scene(
+            str(tmp_path / "scene2"), ("rgb", "mono"), num_views=4, height=16, width=16,
+            raw=True,
+        )
+        ds = load_dataset(scene, ("rgb", "mono"), {"rgb": [0, 1, 2, 3], "mono": [0, 2]}, raw=True)
+        cfg = tiny_config(n_rays=16)
+        model = MMSModel(cfg.model)
+        state = init_train_state(cfg, model, jax.random.key(0), {"rgb": 4, "mono": 2})
+        cams = {m: ds.data[m].cameras for m in ("rgb", "mono")}
+        step = make_train_step(cfg, model, cams)
+        sampler = UniformPixelSampler(ds, 16, seed=0)
+        state, aux = step(state, sampler.sample(), jax.random.key(1))
+        assert np.isfinite(float(aux["losses"]["total_loss"]))
