@@ -16,7 +16,7 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
 
 
 def main():

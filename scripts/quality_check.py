@@ -31,7 +31,7 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
