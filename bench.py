@@ -26,11 +26,14 @@ def main():
     from multimodalstudio_tpu.engine.train import init_train_state, make_fused_train_fn
     from multimodalstudio_tpu.models.model import MMSModel
 
+    import os
+
     modalities = ("rgb", "infrared", "mono", "polarization", "multispectral")
     n_rays = 2048  # reference training batch: 2048 rays/modality (BASELINE.md)
     steps_per_call = 5  # dispatches per measurement; program is K=1
 
-    cfg = method_configs()["grid_raw_tpu"]
+    method = os.environ.get("BENCH_METHOD", "grid_raw_tpu")
+    cfg = method_configs()[method]
     cfg = dataclasses.replace(
         cfg,
         modalities=modalities,
@@ -70,7 +73,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec_per_chip (grid_raw_tpu, 5 modalities)",
+                "metric": f"train_rays_per_sec_per_chip ({method}, 5 modalities)",
                 "value": round(rays_per_sec),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / 2_000_000, 4),

@@ -368,6 +368,23 @@ def _grid_raw_tpu() -> TrainerConfig:
     return apply_mixed_precision(cfg)
 
 
+def _mlp_raw_tpu() -> TrainerConfig:
+    """TPU-tuned mlp_raw: bf16 matmuls + microbatching. Pure-MLP fields are
+    all MXU work — no hash-table gathers — which makes this the fastest
+    method on TPU (the inverse of the CUDA reference, where tcnn grids win)."""
+    import dataclasses as dc
+
+    from multimodalstudio_tpu.configs.config import apply_mixed_precision
+
+    base = _raw(_mlp_config(), "mlp_raw_tpu")
+    cfg = dc.replace(
+        base,
+        mixed_precision=True,
+        datamanager=dc.replace(base.datamanager, microbatch_rays=512),
+    )
+    return apply_mixed_precision(cfg)
+
+
 def method_configs() -> Dict[str, TrainerConfig]:
     grid = _grid_config()
     mlp = _mlp_config()
@@ -381,4 +398,5 @@ def method_configs() -> Dict[str, TrainerConfig]:
         "grid_decimated": _grid_decimated(),
         "grid_raw_grid_bg_unbalanced": _grid_raw_grid_bg_unbalanced(),
         "grid_raw_tpu": _grid_raw_tpu(),
+        "mlp_raw_tpu": _mlp_raw_tpu(),
     }
