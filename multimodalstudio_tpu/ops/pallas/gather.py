@@ -25,26 +25,35 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _scan_gather_kernel(idx_ref, table_ref, out_ref, *, table_rows: int):
-    """out[q] = table[idx[q]] for a [8, 128] query block.
+    """out[q] = table[idx[q]] for a [QS, 128] query block.
 
     table_ref: [T, 128] — value t replicated across all 128 lanes at row t.
     idx_ref/out_ref: [QS, 128] int32 / float32 (QS sublanes of queries).
-    """
-    idx = idx_ref[:]  # [QS, 128]
-    sub = idx & 7  # sublane within the chunk vreg
-    chunk_of = idx >> 3  # which 8-row chunk holds the value
 
-    acc = jnp.zeros(idx.shape, jnp.float32)
+    The hardware `tpu.dynamic_gather` (same-shape take_along_axis) shuffles
+    within ONE 8-sublane vreg, so both the queries and the table are walked
+    vreg-by-vreg: per (query-vreg, table-vreg) pair one gather + predicated
+    select — 1024 parallel lookups per step.
+    """
+    qs = idx_ref.shape[0]
     n_chunks = table_rows // 8
 
-    def body(c, acc):
-        chunk = table_ref[pl.ds(c * 8, 8), :]  # [8, 128] one vreg
-        # hardware sublane gather: cand[q, l] = chunk[sub[q, l], l]
-        cand = jnp.take_along_axis(chunk, sub, axis=0)
-        return jnp.where(chunk_of == c, cand, acc)
+    def q_body(q, _):
+        idx = idx_ref[pl.ds(q * 8, 8), :]  # [8, 128]
+        sub = idx & 7
+        chunk_of = idx >> 3
 
-    acc = jax.lax.fori_loop(0, n_chunks, body, acc)
-    out_ref[:] = acc
+        def c_body(c, acc):
+            chunk = table_ref[pl.ds(c * 8, 8), :]  # [8, 128] one vreg
+            # hardware sublane gather: cand[s, l] = chunk[sub[s, l], l]
+            cand = jnp.take_along_axis(chunk, sub, axis=0)
+            return jnp.where(chunk_of == c, cand, acc)
+
+        acc = jax.lax.fori_loop(0, n_chunks, c_body, jnp.zeros((8, 128), jnp.float32))
+        out_ref[pl.ds(q * 8, 8), :] = acc
+        return 0
+
+    jax.lax.fori_loop(0, qs // 8, q_body, 0)
 
 
 def vreg_scan_gather(table: jnp.ndarray, idx: jnp.ndarray, block: int = 512) -> jnp.ndarray:
