@@ -187,8 +187,15 @@ def _grid_config(modalities=FIVE_MODALITIES) -> TrainerConfig:
         datamanager=DataManagerSpec(
             dataset_kind="aligned",
             raw=False,
-            num_rays_per_modality=32,
-            camera_optimizer=CameraOptimizerSpec(mode="off"),
+            # paper training geometry (reference confs/grid_raw.yaml:48-59):
+            # 2048 rays/modality, shared SO3xR3 pose optimization for every
+            # modality — so method_configs() alone reproduces the published
+            # setup (the reference's registry defaults to a toy 32-ray
+            # optimizer-off config and relies on the YAML to fix it).
+            num_rays_per_modality=2048,
+            camera_optimizer=CameraOptimizerSpec(
+                mode="SO3xR3", shared_optimization=True
+            ),
         ),
         model=model,
         loss_manager=losses,

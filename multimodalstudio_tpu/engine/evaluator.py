@@ -49,14 +49,19 @@ class Evaluator:
         self._chunk_fns: Dict[str, callable] = {}
 
     # ------------------------------------------------------------- chunk fn
-    def _chunk_fn(self, mod: str, cameras):
-        """Jitted fixed-size aligned render of one modality's rays."""
+    def _chunk_fn(self, mod: str):
+        """Jitted fixed-size aligned render of one modality's rays.
+
+        Cameras are a jit *argument* (a Cameras pytree), not a closure, so
+        one compiled fn per modality serves every dataset/split — rendering
+        train and eval views of the same modality reuses the executable and
+        cannot silently pick up the wrong camera table."""
         if mod in self._chunk_fns:
             return self._chunk_fns[mod]
         config = self.config
         model = self.model
 
-        def render_chunk(state_params, step, camera_indices, pixel_coords):
+        def render_chunk(state_params, step, cameras, camera_indices, pixel_coords):
             from multimodalstudio_tpu.cameras.camera_optimizer import camera_opt_transform
             from multimodalstudio_tpu.cameras.cameras import generate_rays
 
@@ -94,11 +99,11 @@ class Evaluator:
         n_pad = (-n) % chunk
         idx = jnp.concatenate([batch.camera_indices, batch.camera_indices[:1].repeat(n_pad)])
         coords = jnp.concatenate([batch.pixel_coords, batch.pixel_coords[:1].repeat(n_pad, 0)])
-        fn = self._chunk_fn(mod, cameras)
+        fn = self._chunk_fn(mod)
 
         outs = []
         for i in range(0, n + n_pad, chunk):
-            out = fn(state.params, state.step, idx[i : i + chunk], coords[i : i + chunk])
+            out = fn(state.params, state.step, cameras, idx[i : i + chunk], coords[i : i + chunk])
             outs.append(jax.tree.map(np.asarray, out))
         stitched = jax.tree.map(lambda *xs: np.concatenate(xs, axis=0)[:n], *outs)
         return stitched
@@ -332,7 +337,8 @@ class Evaluator:
 
 
 class RawEvaluator(Evaluator):
-    """Adds mosaicked-rendering regimes (reference evaluator.py:519-798)."""
+    """Adds mosaicked- and demosaicked-rendering regimes
+    (reference evaluator.py:519-798)."""
 
     def render_view(self, state, dataset, mod, frame_index):
         frames = super().render_view(state, dataset, mod, frame_index)
@@ -352,3 +358,91 @@ class RawEvaluator(Evaluator):
                             frames[key], sub[..., None].astype(np.int64), axis=-1
                         )
         return frames
+
+    def _pattern(self, mod: str):
+        for ds in (self.eval_dataset, self.train_dataset):
+            if mod in ds.data and ds.data[mod].mosaick_pattern is not None:
+                return np.asarray(ds.data[mod].mosaick_pattern)
+        return None
+
+    def view_metrics(self, frames: Dict[str, np.ndarray], mod: str) -> Dict[str, float]:
+        """Three scoring regimes (reference evaluate_average_metrics.py:250-282):
+        mosaicked (inherited headline), demosaicked (demosaick both the
+        mosaicked rendering and the raw GT), and rendered-demosaicked (the
+        model's native full-channel rendering vs demosaicked GT).
+
+        The demosaicked regimes require full-resolution rendering
+        (rendering_scale == 1) — subsampling breaks the mosaick periodicity
+        that demosaicking interpolates over; the reference's paper protocol
+        also scores full-resolution exports."""
+        out = super().view_metrics(frames, mod)
+        pred = frames[mod]
+        gt = frames["gt"]
+        pattern = self._pattern(mod)
+        is_raw_mc = (
+            self.config.datamanager.raw
+            and gt.shape[-1] == 1
+            and pred.shape[-1] > 1
+            and pattern is not None
+        )
+        if not is_raw_mc:
+            return out
+        out["psnr_mosaicked"] = out["psnr"]
+        out["ssim_mosaicked"] = out["ssim"]
+        if self.config.evaluator.rendering_scale != 1.0:
+            return out
+        from multimodalstudio_tpu.preprocessing.demosaick import demosaick_grid
+
+        mask = None
+        if self.config.evaluator.roi_only:
+            mask = (
+                frames["accumulation"][..., 0]
+                > self.config.evaluator.accumulation_mask_threshold
+            ).astype(np.float32)[..., None]
+
+        chan = frames["mosaick_channel"][..., None].astype(np.int64)
+        pred_mos = np.take_along_axis(pred, chan, axis=-1)
+        gt_dem = demosaick_grid(gt, pattern)
+        pred_dem = demosaick_grid(pred_mos, pattern)
+
+        def score(p, g, suffix):
+            pm = p * mask if mask is not None else p
+            gm = g * mask if mask is not None else g
+            if mask is not None:
+                err = ((p - g) ** 2) * mask
+                mse = float(np.sum(err) / max(np.sum(mask) * p.shape[-1], 1.0))
+                out[f"psnr_{suffix}"] = -10.0 * float(np.log10(max(mse, 1e-12)))
+            else:
+                out[f"psnr_{suffix}"] = float(psnr_fn(jnp.asarray(p), jnp.asarray(g)))
+            out[f"ssim_{suffix}"] = float(ssim_fn(jnp.asarray(pm), jnp.asarray(gm)))
+
+        score(pred_dem, gt_dem, "demosaicked")
+        score(pred, gt_dem, "rendered_demosaicked")
+        return out
+
+    def export_view(self, frames, mod, frame_index, step):
+        """Additionally export the model's native full-channel rendering
+        under demosaicked/ (reference evaluator.py:770-778): one 16-bit PNG
+        for 1/3-channel modalities, per-channel PNGs otherwise."""
+        super().export_view(frames, mod, frame_index, step)
+        import cv2
+
+        pred = frames[mod]
+        if not (self.config.datamanager.raw and pred.shape[-1] != frames["gt"].shape[-1]):
+            return
+        out_dir = os.path.join(
+            self.output_dir, "renders", f"step-{step:09d}", "demosaicked", mod
+        )
+        os.makedirs(out_dir, exist_ok=True)
+
+        def to16(img):
+            return (np.clip(img, 0.0, 1.0) * 65535.0).astype(np.uint16)
+
+        if pred.shape[-1] in (1, 3):
+            cv2.imwrite(os.path.join(out_dir, f"{frame_index:04d}.png"), to16(pred))
+        else:
+            for c in range(pred.shape[-1]):
+                cv2.imwrite(
+                    os.path.join(out_dir, f"{frame_index:04d}_ch{c}.png"),
+                    to16(pred[..., c : c + 1]),
+                )

@@ -1,13 +1,25 @@
 """Offline paper metrics: average PSNR/SSIM(/LPIPS) over scenes x modalities.
 
-Counterpart of reference scripts/evaluate_average_metrics.py: for each scene
-and modality, compares exported renderings at the eval views against ground
-truth under ROI masks (accumulation > threshold, from a mask training run or
-the run's own accumulation exports), in three regimes:
+Counterpart of reference scripts/evaluate_average_metrics.py:150-331: for
+each scene and modality, compares exported renderings at the eval views
+against ground truth under ROI masks (accumulation > threshold), in THREE
+regimes, each with its own psnr/ssim/lpips:
 
-  - mosaicked: mosaicked rendering vs raw GT
-  - demosaicked: full-channel rendering vs demosaicked GT
-  - rendered_demosaicked: full-channel rendering vs GT demosaicked offline
+  raw training (gt frames are mosaicked single-channel):
+    - mosaicked:             mosaicked rendering vs raw GT
+    - demosaicked:           demosaick(mosaicked rendering) vs demosaick(GT)
+    - rendered_demosaicked:  the model's native full-channel rendering vs
+                             demosaick(GT)
+  demosaicked training (gt frames are full-channel):
+    - rendered_demosaicked:  rendering vs GT (identity regime)
+    - mosaicked:             mosaick both through the pattern
+    - demosaicked:           demosaick(mosaicked) for both
+
+Demosaicking uses the generic per-channel bilinear grid interpolation
+(preprocessing/demosaick.py) for every modality — channel ordering follows
+the scene's mosaick pattern, matching the model's channel indexing. (The
+reference uses edge-aware OpenCV/polanalyser demosaicking; regime structure
+and masking protocol are identical.)
 
 LPIPS requires the `lpips` package (not bundled); it is skipped with a
 notice when unavailable (reference uses torch lpips).
@@ -55,10 +67,25 @@ def try_lpips(pred, gt, mask):
         x = x * mask
         if x.shape[-1] == 1:
             x = np.repeat(x, 3, -1)
+        elif x.shape[-1] > 3:
+            # >3-channel modalities: score the channel mean, replicated
+            # (reference evaluate_average_metrics.py:241-247)
+            x = np.repeat(x.mean(-1, keepdims=True), 3, -1)
         return torch.from_numpy((x[..., :3] * 2 - 1).transpose(2, 0, 1)[None]).float()
 
     with torch.no_grad():
         return float(net(to_t(pred), to_t(gt)))
+
+
+def regime_metrics(pred, gt, mask, rows, regime):
+    rows[f"psnr_{regime}"].append(masked_psnr(pred, gt, mask))
+    rows[f"ssim_{regime}"].append(masked_ssim(pred, gt, mask))
+    lp = try_lpips(pred, gt, mask)
+    if lp is not None:
+        rows[f"lpips_{regime}"].append(lp)
+
+
+REGIMES = ("mosaicked", "demosaicked", "rendered_demosaicked")
 
 
 def main():
@@ -75,6 +102,7 @@ def main():
     import cv2
 
     from multimodalstudio_tpu.data.dataset import build_mosaick_mask, normalize_frame
+    from multimodalstudio_tpu.preprocessing.demosaick import demosaick_grid
 
     with open(os.path.join(args.scene, "meta_data.json")) as f:
         meta = json.load(f)
@@ -84,7 +112,9 @@ def main():
     for mod in args.modalities:
         mmeta = meta["modalities"][mod]
         frames_by_id = {fr["frame_id"]: fr["file_name"] for fr in mmeta["frames"]}
-        rows = {"psnr": [], "ssim": [], "lpips": [], "psnr_mosaicked": []}
+        pattern = np.asarray(mmeta.get("mosaick_pattern", [[0]]))
+        multi_channel_pattern = int(pattern.max()) > 0
+        rows = {f"{m}_{r}": [] for r in REGIMES for m in ("psnr", "ssim", "lpips")}
         for vi, view in enumerate(args.views):
             render_path = os.path.join(args.renders, mod, f"{vi:04d}_render.npy")
             acc_path = os.path.join(args.renders, mod, f"{vi:04d}_accumulation.png")
@@ -110,29 +140,58 @@ def main():
             else:
                 mask = np.ones((h, w, 1), np.float32)
 
-            if raw and gt.shape[-1] == 1 and pred.shape[-1] > 1:
-                # mosaicked regime: select rendered channel by the mosaick mask
-                pattern = np.asarray(mmeta["mosaick_pattern"])
-                mos = build_mosaick_mask(pattern, mmeta["height"], mmeta["width"])
-                sub = mos[ys][:, xs].astype(np.int64)
-                pred_mos = np.take_along_axis(pred, sub[..., None], axis=-1)
-                rows["psnr_mosaicked"].append(masked_psnr(pred_mos, gt, mask))
-                rows["psnr"].append(masked_psnr(pred_mos, gt, mask))
-                rows["ssim"].append(masked_ssim(pred_mos, gt, mask))
-                lp = try_lpips(pred_mos, gt, mask)
-            else:
-                rows["psnr"].append(masked_psnr(pred, gt, mask))
-                rows["ssim"].append(masked_ssim(pred, gt, mask))
-                lp = try_lpips(pred, gt, mask)
-            if lp is not None:
-                rows["lpips"].append(lp)
+            # the mosaick mask subsampled to the rendering scale
+            mos = build_mosaick_mask(pattern, mmeta["height"], mmeta["width"])
+            sub = mos[ys][:, xs].astype(np.int64)
 
-        results[mod] = {
-            k: float(np.mean(v)) for k, v in rows.items() if v
-        }
+            if raw and gt.shape[-1] == 1 and pred.shape[-1] > 1:
+                # gt is a raw mosaicked frame; pred renders all channels
+                pred_mos = np.take_along_axis(pred, sub[..., None], axis=-1)
+                regime_metrics(pred_mos, gt, mask, rows, "mosaicked")
+                if multi_channel_pattern and args.rendering_scale == 1.0:
+                    # demosaicking needs the unbroken mosaick periodicity —
+                    # full-resolution renders only (the reference's paper
+                    # protocol also scores full-res exports)
+                    gt_dem = demosaick_grid(gt, pattern)
+                    pred_dem = demosaick_grid(pred_mos, pattern)
+                    regime_metrics(pred_dem, gt_dem, mask, rows, "demosaicked")
+                    regime_metrics(pred, gt_dem, mask, rows, "rendered_demosaicked")
+                else:
+                    # single-channel mosaick (mono/infrared): demosaicking is
+                    # the identity (reference demosaicking_fns:63-64)
+                    regime_metrics(pred_mos, gt, mask, rows, "demosaicked")
+                    regime_metrics(pred, gt, mask, rows, "rendered_demosaicked")
+            else:
+                # demosaicked training: gt and pred are full-channel
+                # (reference evaluate_average_metrics.py:283-318)
+                if pred.shape[-1] != gt.shape[-1]:
+                    pred = pred[..., : gt.shape[-1]]
+                regime_metrics(pred, gt, mask, rows, "rendered_demosaicked")
+                if multi_channel_pattern:
+                    gt_mos = np.take_along_axis(gt, sub[..., None], axis=-1)
+                    pred_mos = np.take_along_axis(pred, sub[..., None], axis=-1)
+                    regime_metrics(pred_mos, gt_mos, mask, rows, "mosaicked")
+                    if args.rendering_scale == 1.0:
+                        regime_metrics(
+                            demosaick_grid(pred_mos, pattern),
+                            demosaick_grid(gt_mos, pattern),
+                            mask, rows, "demosaicked",
+                        )
+                else:
+                    regime_metrics(pred, gt, mask, rows, "mosaicked")
+                    regime_metrics(pred, gt, mask, rows, "demosaicked")
+
+        results[mod] = {k: float(np.mean(v)) for k, v in rows.items() if v}
+        # headline aliases: psnr = the regime matching the training data
+        if raw and f"psnr_mosaicked" in results[mod]:
+            results[mod]["psnr"] = results[mod]["psnr_mosaicked"]
+            results[mod]["ssim"] = results[mod]["ssim_mosaicked"]
+        elif "psnr_rendered_demosaicked" in results[mod]:
+            results[mod]["psnr"] = results[mod]["psnr_rendered_demosaicked"]
+            results[mod]["ssim"] = results[mod]["ssim_rendered_demosaicked"]
 
     print(json.dumps(results, indent=2))
-    if "lpips" not in next(iter(results.values()), {}):
+    if not any("lpips" in k for r in results.values() for k in r):
         print("note: lpips package unavailable — LPIPS skipped", file=sys.stderr)
     if args.out:
         with open(args.out, "w") as f:
