@@ -204,20 +204,39 @@ def select_mosaick_channels(
     return out
 
 
-def make_train_step(config: TrainerConfig, model: MMSModel, cameras: Dict[str, Cameras]):
+def _constrain_batch(batch, mesh):
+    """Shard every batch leaf along its leading (ray) axis over the `data`
+    mesh axis. Index computation stays replicated (cheap); the pixel gathers
+    and everything downstream partition by ray, and XLA all-reduces the
+    gradients — the TPU-native counterpart of the reference's DDP
+    (reference src/engine/trainer.py:57-63, src/utils/comms.py)."""
+    if mesh is None:
+        return batch
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(a, sharding), batch
+    )
+
+
+def make_train_step(
+    config: TrainerConfig, model: MMSModel, cameras: Dict[str, Cameras], mesh=None
+):
     """Returns the jitted train_step(state, batch, rng) -> (state, aux)."""
     tx = make_optimizer(config)
     grid = _surface_grid(config)
 
     def train_step(state: TrainState, batch: Dict[str, PixelBatch], rng: jax.Array):
         step = state.step
+        batch = _constrain_batch(batch, mesh)
         schedules = make_schedules(config, step)
         rng = jax.random.fold_in(rng, step)
         rng_model, rng_loss = jax.random.split(rng)
 
         total, losses, metrics, grads = _batch_loss_and_grads(
             config, model, cameras, grid, state.params, batch, step, schedules,
-            rng_model, rng_loss,
+            rng_model, rng_loss, mesh,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -230,7 +249,7 @@ def make_train_step(config: TrainerConfig, model: MMSModel, cameras: Dict[str, C
 
 def _batch_loss_and_grads(
     config: TrainerConfig, model: MMSModel, cameras, grid, params, batch, step, schedules,
-    rng_model, rng_loss,
+    rng_model, rng_loss, mesh=None,
 ):
     """value_and_grad of the step loss, with optional gradient accumulation
     over ray microbatches (jax.lax.scan) to bound activation memory — the
@@ -271,6 +290,7 @@ def _batch_loss_and_grads(
 
     def body(acc, inp):
         slice_batch, rm, rl = inp
+        slice_batch = _constrain_batch(slice_batch, mesh)
         (total, (losses, metrics)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, slice_batch, rm, rl
         )
@@ -293,6 +313,7 @@ def make_fused_train_fn(
     cameras: Dict[str, Cameras],
     cache,
     steps_per_call: int,
+    mesh=None,
 ):
     """K training steps per dispatch via lax.scan with in-jit pixel sampling.
 
@@ -313,10 +334,11 @@ def make_fused_train_fn(
         batch = sample_pixel_batch(
             cache, rng_sample, config.datamanager.num_rays_per_modality, config.modalities
         )
+        batch = _constrain_batch(batch, mesh)
 
         total, losses, metrics, grads = _batch_loss_and_grads(
             config, model, cameras, grid, state.params, batch, step, schedules,
-            rng_model, rng_loss,
+            rng_model, rng_loss, mesh,
         )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -74,6 +74,31 @@ class Trainer:
     def setup(self):
         config = self.config
         self.model = MMSModel(config.model)
+
+        # -------- data-parallel mesh (reference trainer.py:57-63 DDP).
+        # config.n_devices: 0 = all available, 1 = force single-device.
+        # With a mesh, `num_rays_per_modality` is the GLOBAL batch: parameters
+        # and the HBM frame cache replicate, sampled ray batches shard along
+        # the ray axis, XLA all-reduces gradients over ICI — semantics are
+        # bit-identical to single-device training at the same batch size.
+        from multimodalstudio_tpu.parallel.sharding import make_mesh, replicate
+
+        n_avail = len(jax.devices())
+        n_dev = config.n_devices if config.n_devices > 0 else n_avail
+        if n_dev > n_avail:
+            raise ValueError(f"n_devices={n_dev} but only {n_avail} available")
+        if n_dev > 1 and config.datamanager.num_rays_per_modality % n_dev:
+            raise ValueError(
+                f"num_rays_per_modality={config.datamanager.num_rays_per_modality}"
+                f" must divide n_devices={n_dev}"
+            )
+        if n_dev > 1 and config.datamanager.microbatch_rays > 0 \
+                and config.datamanager.microbatch_rays % n_dev:
+            raise ValueError(
+                f"microbatch_rays={config.datamanager.microbatch_rays}"
+                f" must divide n_devices={n_dev}"
+            )
+        self.mesh = make_mesh(n_dev) if n_dev > 1 else None
         self.cameras = {
             m: self.train_dataset.data[m].cameras for m in config.modalities
         }
@@ -83,6 +108,8 @@ class Trainer:
         rng = jax.random.key(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.state = init_train_state(config, self.model, init_rng, num_cameras)
+        if self.mesh is not None:
+            self.state = replicate(self.state, self.mesh)
         self.sampler = UniformPixelSampler(
             self.train_dataset, config.datamanager.num_rays_per_modality, seed=config.seed
         )
@@ -101,13 +128,17 @@ class Trainer:
             cache = build_device_cache(
                 self.train_dataset, config.datamanager.quantize_cache
             )
+            if self.mesh is not None:
+                cache = replicate(cache, self.mesh)
             # K=1 program, dispatched K times per host chunk: dispatch through
             # PJRT is cheap while a scanned K-step program compiles ~10x slower
             self.fused_train = make_fused_train_fn(
-                config, self.model, self.cameras, cache, 1
+                config, self.model, self.cameras, cache, 1, mesh=self.mesh
             )
         else:
-            self.train_step = make_train_step(config, self.model, self.cameras)
+            self.train_step = make_train_step(
+                config, self.model, self.cameras, mesh=self.mesh
+            )
         self.eval_step = make_eval_batch_step(config, self.model, self.cameras)
 
         evaluator_cls = RawEvaluator if config.datamanager.raw else Evaluator

@@ -124,6 +124,13 @@ class ModelSpec:
     radiance: RadianceModelSpec = RadianceModelSpec()
     background: BackgroundModelSpec = BackgroundModelSpec()
     use_background: bool = True
+    # rematerialize the three field-evaluation regions (SDF+gradients,
+    # radiance trunk+heads, background) in the backward pass: activation
+    # memory per region drops to its inputs/outputs, trading ~1/3 more FLOPs
+    # for the ability to run reference-scale ray batches without gradient
+    # accumulation (jax.checkpoint — the TPU-native answer to activation
+    # memory, where the reference relies on small CUDA per-op buffers)
+    remat: bool = True
     scene_radius: float = 1.0
     collider_type: str = "sphere"  # sphere | near_far | box (scene_colliders.py)
     near_far: Tuple[float, float] = (0.05, 4.0)
@@ -399,11 +406,17 @@ class MMSModel:
         if spec.use_background:
             bg_rays = background_bounds(rays, mask, spec.scene_radius)
             bg_samples = spaced_sampling(bg_rays, spec.background_ray_sampler, rng_bg, train)
-            background = self._background_forward(params, bg_samples, segments, aligned)
+            bg_fn = lambda p, smp: self._background_forward(p, smp, segments, aligned)
+            if spec.remat and train:
+                bg_fn = jax.checkpoint(bg_fn)
+            background = bg_fn(params, bg_samples)
 
         # ---- geometry
         positions = samples.start_positions()  # [N, S, 3]
-        sdf, geo, gradients, hessians = self.sdf_gradients(params, positions, schedules, train)
+        sdf_grad_fn = lambda p, pos: self.sdf_gradients(p, pos, schedules, train)
+        if spec.remat and train:
+            sdf_grad_fn = jax.checkpoint(sdf_grad_fn)
+        sdf, geo, gradients, hessians = sdf_grad_fn(params, positions)
         norm = jnp.linalg.norm(gradients, axis=-1, keepdims=True)
         normals = gradients / jnp.maximum(norm, 1e-12)
         if spec.surface.rendering == "volsdf":
@@ -419,7 +432,12 @@ class MMSModel:
             weights = neus_weights(samples, sdf, gradients, inv_s, schedules.cos_anneal_ratio)
 
         # ---- radiance
-        radiance = self._radiance_forward(params, samples, normals, geo, segments, aligned)
+        radiance_fn = lambda p, smp, nrm, g: self._radiance_forward(
+            p, smp, nrm, g, segments, aligned
+        )
+        if spec.remat and train:
+            radiance_fn = jax.checkpoint(radiance_fn)
+        radiance = radiance_fn(params, samples, normals, geo)
 
         # ---- composition (reference renderers.py:75-174, masked dense)
         outputs: Dict[str, Any] = {}

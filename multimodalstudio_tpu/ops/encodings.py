@@ -86,6 +86,11 @@ class HashGridSpec:
     #   forward-mode SDF gradients reuse (CSE) the primal gathers instead of
     #   paying 4 extra numerical-tap field evaluations.
     vjp_mode: str = "custom"
+    # "rows": ONE [M, F] row gather for all feature columns (~1.5x higher
+    #   row-issue rate, measured scripts/gather_study.py) at the cost of a
+    #   lane-padded [M, F] intermediate; "flat": one 1-D element take per
+    #   feature column with clean N-minor layouts throughout (round 1).
+    gather_mode: str = "rows"
 
     @property
     def growth_factor(self) -> float:
@@ -180,12 +185,21 @@ def _hash_lookup_impl(
     idx, axis_fac, _ = _grid_geometry(x, spec, k)
     cw = axis_fac[:, :, 0] * axis_fac[:, :, 1] * axis_fac[:, :, 2]  # [L, 8, N]
     flat_idx = idx.reshape(-1)  # [L*8*N]
-    outs = []
-    for f in range(spec.features_per_level):
-        feats = jnp.take(table[:, f], flat_idx).reshape(idx.shape)  # [L, 8, N]
-        outs.append(jnp.sum(cw * feats, axis=1))  # [L, N]
-    out = jnp.stack(outs, axis=1)  # [L, F, N]
-    out = out.transpose(2, 0, 1).reshape(n, k * spec.features_per_level)
+    if spec.gather_mode == "rows":
+        # ONE row gather for all feature columns: measured
+        # (scripts/gather_study.py) a [M, F] row take sustains ~145-190M
+        # rows/s on v5e vs ~120M rows/s per 1-D element take — the encode is
+        # gather-issue-rate-bound, so this nearly halves its cost at F=2.
+        feats = jnp.take(table, flat_idx, axis=0).reshape(*idx.shape, -1)  # [L, 8, N, F]
+        out = jnp.sum(cw[..., None] * feats, axis=1)  # [L, N, F]
+        out = out.transpose(1, 0, 2).reshape(n, k * spec.features_per_level)
+    else:
+        outs = []
+        for f in range(spec.features_per_level):
+            feats = jnp.take(table[:, f], flat_idx).reshape(idx.shape)  # [L, 8, N]
+            outs.append(jnp.sum(cw * feats, axis=1))  # [L, N]
+        out = jnp.stack(outs, axis=1)  # [L, F, N]
+        out = out.transpose(2, 0, 1).reshape(n, k * spec.features_per_level)
     if k < spec.num_levels:
         # truncated query (coarse-only sampler path): zero-pad fine levels —
         # identical to the coarse-to-fine mask zeroing them
@@ -221,18 +235,35 @@ def _hash_lookup_bwd(spec, residuals, g):
 
     g_lfn = g.reshape(n, spec.num_levels, nf).transpose(1, 2, 0)  # [L, F, N]
 
-    # ---- table gradient: one flat scatter-add per feature column
-    cols = []
-    fg = jnp.zeros_like(cw)  # sum_f feats_f * g_f, for the position grad
-    for f in range(nf):
-        updates = cw * g_lfn[:, f][:, None, :]  # [L, 8, N]
-        col = jnp.zeros((table.shape[0],), table.dtype).at[flat_idx].add(
-            updates.reshape(-1)
-        )
-        cols.append(col)
-        feats = jnp.take(table[:, f], flat_idx).reshape(idx.shape)
-        fg = fg + feats * g_lfn[:, f][:, None, :]
-    d_table = jnp.stack(cols, axis=-1)  # [L*T, F]
+    if spec.gather_mode == "rows":
+        # HYBRID backward (measured, scripts/encode_ab.py): the [M, F] row
+        # gather is ~2x faster than per-feature 1-D takes, but the [M, F] row
+        # SCATTER is ~3x slower than per-feature 1-D scatter-adds — so gather
+        # rows, scatter per feature column.
+        feats = jnp.take(table, flat_idx, axis=0).reshape(*idx.shape, nf)  # [L,8,N,F]
+        fg = jnp.einsum("lcnf,lfn->lcn", feats, g_lfn)
+        cols = []
+        for f in range(nf):
+            updates = cw * g_lfn[:, f][:, None, :]  # [L, 8, N]
+            cols.append(
+                jnp.zeros((table.shape[0],), table.dtype).at[flat_idx].add(
+                    updates.reshape(-1)
+                )
+            )
+        d_table = jnp.stack(cols, axis=-1)  # [L*T, F]
+    else:
+        # one flat scatter-add per feature column
+        cols = []
+        fg = jnp.zeros_like(cw)  # sum_f feats_f * g_f, for the position grad
+        for f in range(nf):
+            updates = cw * g_lfn[:, f][:, None, :]  # [L, 8, N]
+            col = jnp.zeros((table.shape[0],), table.dtype).at[flat_idx].add(
+                updates.reshape(-1)
+            )
+            cols.append(col)
+            feats = jnp.take(table[:, f], flat_idx).reshape(idx.shape)
+            fg = fg + feats * g_lfn[:, f][:, None, :]
+        d_table = jnp.stack(cols, axis=-1)  # [L*T, F]
 
     # ---- position gradient: d cw/d w_d = sign_d * prod of other axis factors
     signs = (2.0 * jnp.asarray(_CORNERS, x.dtype) - 1.0)[None, :, :, None]  # [1,8,3,1]
@@ -289,8 +320,17 @@ def hash_grid_lookup(
         # plain XLA AD under remat: jax.jvp-compatible (forward-mode SDF
         # gradients CSE their primal gathers with the value computation),
         # and reverse-mode residuals stay (table, x) instead of the [L, 8, N]
-        # index/weight intermediates
-        fn = jax.checkpoint(lambda t, q: _hash_lookup_impl(t, q, spec, num_levels))
+        # index/weight intermediates.
+        # Formulation: XLA transposes a [M, F] row gather into a [M, F] row
+        # scatter, which is ~3x slower than per-feature 1-D scatters
+        # (scripts/encode_ab.py) — so differentiated autodiff lookups use the
+        # 'flat' formulation, while num_levels-truncated sampler queries
+        # (evaluation-only: importance bins are detached) keep the ~2x-faster
+        # 'rows' gather.
+        mode = "rows" if (num_levels is not None and spec.vjp_mode != "autodiff") \
+            else "flat"
+        spec_q = dataclasses.replace(spec, gather_mode=mode)
+        fn = jax.checkpoint(lambda t, q: _hash_lookup_impl(t, q, spec_q, num_levels))
         return fn(table, x)
     return _hash_lookup_vjp(table, x, spec)
 

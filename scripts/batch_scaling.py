@@ -29,6 +29,12 @@ def run_one(method, n_rays, micro, modalities, dataset, steps_per_call=5):
     from multimodalstudio_tpu.models.model import MMSModel
 
     cfg = method_configs()[method]
+    jax.config.update(
+        "jax_default_matmul_precision",
+        {"highest": "highest", "high": "float32", "default": "bfloat16"}.get(
+            cfg.matmul_precision, "float32"
+        ),
+    )
     cfg = dataclasses.replace(
         cfg,
         modalities=modalities,
@@ -99,12 +105,20 @@ def main():
 
     results = []
     method = os.environ.get("STUDY_METHOD", "mlp_raw_tpu")
-    sizes = [int(s) for s in os.environ.get("STUDY_SIZES", "2048,4096,8192,16384,32768").split(",")]
-    for n in sizes:
+    # (n_rays_per_modality, microbatch) pairs; 0 = no accumulation
+    combos = os.environ.get(
+        "STUDY_COMBOS", "2048:0,2048:1024,4096:0,4096:2048,8192:0,8192:4096,16384:4096"
+    )
+    for combo in combos.split(","):
+        n, micro = (int(v) for v in combo.split(":"))
         try:
-            results.append(run_one(method, n, 0, modalities, dataset))
+            results.append(run_one(method, n, micro, modalities, dataset))
         except Exception as e:  # noqa: BLE001
-            print(json.dumps({"method": method, "n_rays_per_modality": n, "error": repr(e)}), flush=True)
+            msg = repr(e)
+            if len(msg) > 400:
+                msg = msg[:200] + " ... " + msg[-200:]
+            print(json.dumps({"method": method, "n_rays_per_modality": n,
+                              "microbatch": micro, "error": msg}), flush=True)
     with open(f"batch_scaling_{method}.json", "w") as f:
         json.dump(results, f, indent=1)
 

@@ -222,6 +222,24 @@ class TestHashGrid:
         np.testing.assert_allclose(g1[0], g2[0], atol=1e-5)
         np.testing.assert_allclose(g1[1], g2[1], atol=1e-4)
 
+    def test_gather_modes_agree(self):
+        """'rows' (one [M,F] row take) and 'flat' (per-feature 1-D takes)
+        formulations are numerically identical, values and grads."""
+        import dataclasses as dc
+
+        base = HashGridSpec(num_levels=3, min_res=4, max_res=32, log2_hashmap_size=8)
+        table = jax.random.normal(jax.random.key(0), (3 * base.table_size, 2)) * 0.01
+        x = jax.random.uniform(jax.random.key(1), (40, 3))
+        outs, grads = [], []
+        for mode in ("rows", "flat"):
+            spec = dc.replace(base, gather_mode=mode)
+            outs.append(hash_grid_lookup(table, x, spec))
+            f = lambda t, p, s=spec: jnp.sum(jnp.cos(hash_grid_lookup(t, p, s)))
+            grads.append(jax.grad(f, argnums=(0, 1))(table, x))
+        np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
+        np.testing.assert_allclose(grads[0][0], grads[1][0], atol=1e-6)
+        np.testing.assert_allclose(grads[0][1], grads[1][1], atol=1e-5)
+
     def test_smoothstep_is_c1_at_cell_boundary(self):
         spec = HashGridSpec(num_levels=2, min_res=4, max_res=8, log2_hashmap_size=8)
         table = jax.random.normal(jax.random.key(0), (2 * spec.table_size, 2)) * 0.01
