@@ -354,21 +354,18 @@ def _grid_raw_tpu() -> TrainerConfig:
     surface = dc.replace(
         base.model.surface,
         use_numerical_gradients=False,
-        # curvature regularization off: the hessian path triples the field's
-        # HLO instantiations; analytic second derivatives return in round 2
-        compute_hessian=False,
+        # curvature regularization ON, like the reference flagship
+        # (losses.py:121-150, surface_model.py:137-189): analytic
+        # forward-over-forward hessians (nested jacfwd) — well-defined
+        # because the grid uses Smoothstep interpolation weights
+        compute_hessian=True,
         sampler_levels=8,
         surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid_ad)),
     )
     model = dc.replace(base.model, surface=surface)
-    losses = dc.replace(
-        base.loss_manager,
-        geometry=dc.replace(base.loss_manager.geometry, curvature_loss=None),
-    )
     cfg = dc.replace(
         base,
         model=model,
-        loss_manager=losses,
         mixed_precision=True,
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )
@@ -376,16 +373,31 @@ def _grid_raw_tpu() -> TrainerConfig:
 
 
 def _mlp_raw_tpu() -> TrainerConfig:
-    """TPU-tuned mlp_raw: bf16 matmuls + microbatching. Pure-MLP fields are
-    all MXU work — no hash-table gathers — which makes this the fastest
-    method on TPU (the inverse of the CUDA reference, where tcnn grids win)."""
+    """TPU-tuned mlp_raw: bf16 matmuls + bf16 activations + microbatching.
+    Pure-MLP fields are all MXU work — no hash-table gathers — which makes
+    this the fastest method on TPU (the inverse of the CUDA reference,
+    where tcnn grids win). The SDF activation is SoftplusQuad, the C^1
+    piecewise-quadratic softplus(100x)/100 stand-in: the eikonal
+    jacfwd-under-grad region (~70% of the step) is VPU-transcendental-bound
+    with exact softplus (scripts/act_ab.py)."""
     import dataclasses as dc
 
     from multimodalstudio_tpu.configs.config import apply_mixed_precision
 
     base = _raw(_mlp_config(), "mlp_raw_tpu")
+    sf = base.model.surface.surface_field
+    surface = dc.replace(
+        base.model.surface,
+        surface_field=dc.replace(
+            sf,
+            field=dc.replace(
+                sf.field, mlp=dc.replace(sf.field.mlp, activation="SoftplusQuad")
+            ),
+        ),
+    )
     cfg = dc.replace(
         base,
+        model=dc.replace(base.model, surface=surface),
         mixed_precision=True,
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )

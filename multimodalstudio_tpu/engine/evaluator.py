@@ -132,6 +132,9 @@ class Evaluator:
             p = jnp.asarray(frames["polarization"])
             frames["dop"] = np.asarray(pol.to_dop(data=p))[..., None]
             frames["aop"] = np.asarray(pol.to_aop(data=p) / np.pi)[..., None]
+        # camera pose of the rendered view, for camera-frame normal export
+        # (reference eval_utils.py:163-166)
+        frames["c2w"] = np.asarray(d.cameras.camera_to_worlds[frame_index])
         return frames
 
     # -------------------------------------------------------------- metrics
@@ -237,10 +240,24 @@ class Evaluator:
             if extra in frames:
                 img = frames[extra]
                 if extra == "normals":
+                    # rotate world-frame normals into the camera frame before
+                    # visualization, like the reference (eval_utils.py:163-166)
+                    if "c2w" in frames:
+                        w2c = np.linalg.inv(frames["c2w"][:3, :3])
+                        img = img @ w2c.T
                     img = (img + 1.0) / 2.0
                 elif extra == "depth":
-                    rng = img.max() - img.min()
-                    img = (img - img.min()) / (rng + 1e-8)
+                    # viridis colormap over rendered (depth != 0) pixels,
+                    # 0.5-gray elsewhere (reference eval_utils.py:151-162)
+                    from matplotlib import pyplot as plt
+
+                    d = img[..., 0]
+                    mask = d != 0
+                    img = np.full((*d.shape, 3), 0.5, dtype=np.float32)
+                    if mask.any():
+                        lo, hi = d[mask].min(), d[mask].max()
+                        norm = (d[mask] - lo) / max(hi - lo, 1e-8)
+                        img[mask] = plt.get_cmap("viridis")(norm)[..., :3]
                 cv2.imwrite(
                     os.path.join(out_dir, f"{frame_index:04d}_{extra}.png"), to16(img)
                 )

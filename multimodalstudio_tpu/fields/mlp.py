@@ -44,6 +44,21 @@ def make_activation(name: Optional[str], beta: float = 100.0) -> Callable:
         return jax.nn.relu
     if name == "Softplus":
         return lambda x: jax.nn.softplus(x * beta) / beta
+    if name == "SoftplusQuad":
+        # C^1 piecewise-quadratic softplus stand-in for the TPU recipes:
+        # 0 below -a, z above +a, (z+a)^2/(4a) between, with a = 2/beta so
+        # the curvature at 0 matches softplus(beta z) (f''(0) = beta/4).
+        # Matches ReLU exactly outside |z| <= 2/beta; no transcendentals —
+        # the eikonal-style jacfwd workload runs ~2x faster than with exp
+        # (scripts/act_ab.py: 120ms -> ~60ms per 327K-sample slice).
+        a = 2.0 / beta
+
+        def quad(x):
+            return jnp.where(
+                jnp.abs(x) < a, (x + a) * (x + a) * (0.25 / a), jax.nn.relu(x)
+            )
+
+        return quad
     if name == "Sigmoid":
         return jax.nn.sigmoid
     if name == "LeakyReLU":
@@ -77,13 +92,19 @@ class WNDense(nn.Module):
         else:
             w = kernel
         if self.dtype == "bfloat16":
+            # bf16 compute AND bf16 activations: the eikonal-style
+            # jacfwd-under-grad workload measures 1.6x faster with bf16
+            # layer outputs than with f32 outputs (scripts/act_ab.py) —
+            # f32 outputs double both the VPU activation work and the
+            # activation HBM traffic. Params and the MXU accumulator stay
+            # f32; callers cast the network's final output back to f32.
             out = jax.lax.dot_general(
                 x.astype(jnp.bfloat16),
                 w.astype(jnp.bfloat16),
                 dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=jnp.bfloat16,
             )
-            return out + bias
+            return out + bias.astype(jnp.bfloat16)
         return x @ w + bias
 
 
@@ -206,4 +227,6 @@ class MLP(nn.Module):
             )(x)
             if layer < n_layers - 1:
                 x = act(x)
-        return out_act(x)
+        # bf16 stays contained in the matmul chain: downstream rendering
+        # math (NeuS weights, compositing, losses) runs f32
+        return out_act(x).astype(jnp.float32)

@@ -126,7 +126,7 @@ def _grid_geometry(x: jnp.ndarray, spec: HashGridSpec, num_levels: Optional[int]
     pads its minor dim to 128 (up to 16x HBM amplification); [.., 8, N] and
     [.., 3, N] shapes tile clean.
     """
-    n_levels = num_levels if num_levels is not None else spec.num_levels
+    n_levels = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
     res_np = spec.resolutions[:n_levels]
     res = jnp.asarray(res_np, x.dtype)  # [L]
     x_t = x.T  # [3, N]
@@ -181,7 +181,8 @@ def _hash_lookup_impl(
     num_levels: Optional[int] = None,
 ) -> jnp.ndarray:
     n = x.shape[0]
-    k = num_levels if num_levels is not None else spec.num_levels
+    # clamp: a sampler_levels truncation larger than the grid is a no-op
+    k = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
     idx, axis_fac, _ = _grid_geometry(x, spec, k)
     cw = axis_fac[:, :, 0] * axis_fac[:, :, 1] * axis_fac[:, :, 2]  # [L, 8, N]
     flat_idx = idx.reshape(-1)  # [L*8*N]

@@ -55,10 +55,14 @@ def tiny_config(method="mlp_raw", mods=("rgb", "mono"), n_rays=48, iters=60, **d
         )
         model = dataclasses.replace(model, surface=surface, radiance=radiance)
     else:
-        from multimodalstudio_tpu.ops.encodings import HashGridSpec
-
-        small = HashGridSpec(num_levels=4, max_res=64, log2_hashmap_size=10)
-        shrink = lambda g: dataclasses.replace(g, encoding=small)
+        # shrink the hash grid but keep the method's vjp_mode (grid_raw_tpu
+        # uses autodiff mode, required under forward-mode jacfwd gradients)
+        shrink = lambda g: dataclasses.replace(
+            g,
+            encoding=dataclasses.replace(
+                g.encoding, num_levels=4, max_res=64, log2_hashmap_size=10
+            ),
+        )
         model = dataclasses.replace(
             model,
             surface=dataclasses.replace(
@@ -130,6 +134,24 @@ class TestTraining:
         step_fn = make_train_step(cfg, model, cams)
         sampler = UniformPixelSampler(ds, 24, seed=0)
         state, aux = step_fn(state, sampler.sample(), jax.random.key(1))
+        for k, v in aux["losses"].items():
+            assert np.isfinite(float(v)), k
+
+    def test_grid_tpu_recipe_trains_with_curvature(self):
+        # grid_raw_tpu now matches the reference flagship objective: analytic
+        # forward-over-forward hessians feed the L1 curvature loss
+        # (reference losses.py:121-150, surface_model.py:137-189)
+        cfg = tiny_config("grid_raw_tpu", iters=40, n_rays=16, microbatch_rays=0)
+        assert cfg.model.surface.compute_hessian
+        assert cfg.loss_manager.geometry.curvature_loss == "L1"
+        ds = make_synthetic_dataset(cfg.modalities, num_views=3, height=24, width=24, raw=True)
+        model = MMSModel(cfg.model)
+        state = init_train_state(cfg, model, jax.random.key(0), {m: 3 for m in cfg.modalities})
+        cams = {m: ds.data[m].cameras for m in cfg.modalities}
+        step_fn = make_train_step(cfg, model, cams)
+        sampler = UniformPixelSampler(ds, 16, seed=0)
+        state, aux = step_fn(state, sampler.sample(), jax.random.key(1))
+        assert "curvature_loss" in aux["losses"]
         for k, v in aux["losses"].items():
             assert np.isfinite(float(v)), k
 
