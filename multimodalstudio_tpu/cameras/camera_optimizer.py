@@ -58,13 +58,21 @@ def camera_opt_transform(
     """
     if spec.mode == "off" or mod not in camera_poses:
         return None
-    tangent = camera_poses[mod]
+    mat = tangent_transform(spec, camera_poses[mod], camera_indices)
+    if not spec.optimize(mod):
+        mat = jax.lax.stop_gradient(mat)
+    return mat
+
+
+def tangent_transform(
+    spec: CameraOptimizerSpec, tangent: jnp.ndarray, camera_indices: jnp.ndarray
+) -> jnp.ndarray:
+    """Modality-free core of `camera_opt_transform`: tangents -> [N, 3, 4]
+    exp-map transforms. Lets eval-time chunk fns take the tangent table as a
+    jit argument so one executable serves every modality."""
     if spec.shared_optimization:
         params = jnp.broadcast_to(tangent, (camera_indices.shape[0], 6))
     else:
         params = tangent[camera_indices]
     exp_map = exp_map_SO3xR3 if spec.mode == "SO3xR3" else exp_map_SE3
-    mat = exp_map(params)
-    if not spec.optimize(mod):
-        mat = jax.lax.stop_gradient(mat)
-    return mat
+    return exp_map(params)

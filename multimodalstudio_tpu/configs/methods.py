@@ -348,8 +348,19 @@ def _grid_raw_tpu() -> TrainerConfig:
 
     base = _raw(_grid_config(), "grid_raw_tpu")
     sf = base.model.surface.surface_field
+    # the step is gather-issue-bound (docs/performance.md §3), so the TPU
+    # grid geometry spends its gathers better: 8 levels x 4 features per row
+    # instead of 16 x 2 (same total features and table parameters; each
+    # corner gather returns twice the features — measured 2.3x on the
+    # encode, scripts/encode_ab.py)
     grid_ad = dc.replace(
-        sf.field.grid, encoding=dc.replace(sf.field.grid.encoding, vjp_mode="autodiff")
+        sf.field.grid,
+        encoding=dc.replace(
+            sf.field.grid.encoding,
+            vjp_mode="autodiff",
+            num_levels=8,
+            features_per_level=4,
+        ),
     )
     surface = dc.replace(
         base.model.surface,
@@ -359,10 +370,23 @@ def _grid_raw_tpu() -> TrainerConfig:
         # forward-over-forward hessians (nested jacfwd) — well-defined
         # because the grid uses Smoothstep interpolation weights
         compute_hessian=True,
-        sampler_levels=8,
+        sampler_levels=4,
         surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid_ad)),
     )
-    model = dc.replace(base.model, surface=surface)
+    # radiance rides the surface field's geometric features instead of its
+    # own hash-grid lookup at the same positions — halves the step's gather
+    # and scatter-add row count (PLAN r1 item 3; the geometric feature
+    # already carries the local grid information)
+    radiance = dc.replace(
+        base.model.radiance,
+        radiance_field=dc.replace(
+            base.model.radiance.radiance_field,
+            base_field=dc.replace(
+                base.model.radiance.radiance_field.base_field, grid=None
+            ),
+        ),
+    )
+    model = dc.replace(base.model, surface=surface, radiance=radiance)
     cfg = dc.replace(
         base,
         model=model,
@@ -397,7 +421,10 @@ def _mlp_raw_tpu() -> TrainerConfig:
     )
     cfg = dc.replace(
         base,
-        model=dc.replace(base.model, surface=surface),
+        # field-level remat OFF: with bf16 activations a 512-ray microbatch
+        # slice fits HBM without it, and dropping the backward recompute
+        # measures +35% (batch_scaling5.log: 26.5K -> 35.7K rays/s)
+        model=dc.replace(base.model, surface=surface, remat=False),
         mixed_precision=True,
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )

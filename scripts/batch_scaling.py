@@ -43,6 +43,10 @@ def run_one(method, n_rays, micro, modalities, dataset, steps_per_call=5):
             cfg.datamanager, num_rays_per_modality=n_rays, microbatch_rays=micro
         ),
     )
+    if os.environ.get("STUDY_REMAT", "1") == "0":
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, remat=False)
+        )
     cache = build_device_cache(dataset)
     cameras = {m: dataset.data[m].cameras for m in modalities}
     model = MMSModel(cfg.model)
