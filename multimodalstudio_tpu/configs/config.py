@@ -136,6 +136,27 @@ def apply_mixed_precision(config: "TrainerConfig") -> "TrainerConfig":
     return walk(config)
 
 
+def apply_fused_mlp(config: "TrainerConfig") -> "TrainerConfig":
+    """Opt every (eligible) MLP into the fused Pallas chain
+    (ops/pallas/fused_mlp) — the TPU counterpart of tcnn FullyFusedMLP.
+    Geometry eligibility is re-checked per-MLP at apply time
+    (fields/mlp.py::can_fuse); ineligible MLPs fall back to the layer loop."""
+    from multimodalstudio_tpu.fields.mlp import MLPSpec
+
+    def walk(obj):
+        if isinstance(obj, MLPSpec):
+            return dataclasses.replace(obj, fused=True)
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            return dataclasses.replace(
+                obj, **{f.name: walk(getattr(obj, f.name)) for f in dataclasses.fields(obj)}
+            )
+        if isinstance(obj, tuple):
+            return tuple(walk(v) for v in obj)
+        return obj
+
+    return walk(config)
+
+
 def _apply_overrides(obj: Any, overrides: Dict[str, Any]) -> Any:
     """Recursively apply YAML leaf overrides onto a frozen dataclass tree.
 

@@ -406,7 +406,7 @@ def _mlp_raw_tpu() -> TrainerConfig:
     with exact softplus (scripts/act_ab.py)."""
     import dataclasses as dc
 
-    from multimodalstudio_tpu.configs.config import apply_mixed_precision
+    from multimodalstudio_tpu.configs.config import apply_fused_mlp, apply_mixed_precision
 
     base = _raw(_mlp_config(), "mlp_raw_tpu")
     sf = base.model.surface.surface_field
@@ -428,7 +428,10 @@ def _mlp_raw_tpu() -> TrainerConfig:
         mixed_precision=True,
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )
-    return apply_mixed_precision(cfg)
+    # fused Pallas MLP chains (VMEM-resident layer chain + 3-tangent SDF
+    # gradients): the answer to tcnn FullyFusedMLP — the XLA jacfwd path
+    # is HBM-bound on [N, 3, 256] tangent activations (docs/performance.md)
+    return apply_fused_mlp(apply_mixed_precision(cfg))
 
 
 def method_configs() -> Dict[str, TrainerConfig]:

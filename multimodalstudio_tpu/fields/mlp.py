@@ -35,6 +35,11 @@ class MLPSpec:
     # compute dtype for the matmul chain (params stay float32; the MXU runs
     # bf16 natively — the reference's 16-mixed precision, trainer.py:57-63)
     dtype: str = "float32"  # float32 | bfloat16
+    # run the layer chain as one fused Pallas kernel (ops/pallas/fused_mlp):
+    # inter-layer activations stay in VMEM instead of round-tripping HBM.
+    # The TPU counterpart of tcnn's FullyFusedMLP (reference mlp.py:223-293).
+    # Requires bfloat16 dtype, >=2 layers, lane-aligned hidden width.
+    fused: bool = False
 
 
 def make_activation(name: Optional[str], beta: float = 100.0) -> Callable:
@@ -82,7 +87,7 @@ class WNDense(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, weights_only: bool = False):
         kernel = self.param("kernel", self.kernel_init, (x.shape[-1], self.features))
         bias = self.param("bias", self.bias_init, (self.features,))
         if self.use_weight_norm:
@@ -91,6 +96,9 @@ class WNDense(nn.Module):
             w = g * kernel / jnp.maximum(norm, 1e-12)
         else:
             w = kernel
+        if weights_only:
+            # for the fused-kernel path: declare params, return effective (w, b)
+            return w, bias
         if self.dtype == "bfloat16":
             # bf16 compute AND bf16 activations: the eikonal-style
             # jacfwd-under-grad workload measures 1.6x faster with bf16
@@ -106,6 +114,36 @@ class WNDense(nn.Module):
             )
             return out + bias.astype(jnp.bfloat16)
         return x @ w + bias
+
+
+def can_fuse(spec: "MLPSpec") -> bool:
+    """Whether this MLP geometry is served by the fused Pallas chain."""
+    return (
+        spec.fused
+        and spec.dtype == "bfloat16"
+        and spec.num_layers >= 2
+        and spec.hidden_dim % 128 == 0
+        and spec.activation in ("ReLU", "SoftplusQuad", "None")
+    )
+
+
+def effective_mlp_weights(mlp_params: Any, spec: "MLPSpec"):
+    """Effective (weight-norm applied) per-layer (w, b) from an MLP param
+    subtree ({'layer_0': {kernel, bias[, g]}, ...}) — the same math as
+    WNDense, for callers that bypass module application (the fused SDF
+    gradient path in models/model.py::sdf_gradients)."""
+    ws, bs = [], []
+    for l in range(spec.num_layers):
+        p = mlp_params[f"layer_{l}"]
+        kernel, bias = p["kernel"], p["bias"]
+        if spec.weight_norm and "g" in p:
+            norm = jnp.linalg.norm(kernel, axis=0, keepdims=True)
+            w = p["g"] * kernel / jnp.maximum(norm, 1e-12)
+        else:
+            w = kernel
+        ws.append(w)
+        bs.append(bias)
+    return ws, bs
 
 
 def finalize_weight_norm(params: Any) -> Any:
@@ -196,10 +234,15 @@ class MLP(nn.Module):
         act = make_activation(spec.activation, spec.activation_beta)
         out_act = make_activation(spec.out_activation, spec.activation_beta)
 
+        fused = can_fuse(spec)
         inputs = x
+        cur_width = in_dim
+        ws, bs = [], []
         for layer in range(n_layers):
             if layer in spec.skip_connections:
-                x = jnp.concatenate([x, inputs], axis=-1) / np.sqrt(2.0)
+                cur_width = cur_width + in_dim
+                if not fused:
+                    x = jnp.concatenate([x, inputs], axis=-1) / np.sqrt(2.0)
             if layer + 1 in spec.skip_connections:
                 out_dim = spec.hidden_dim  # concat happens at the next layer's input
             elif layer == n_layers - 1:
@@ -217,16 +260,33 @@ class MLP(nn.Module):
             else:
                 kinit = nn.initializers.he_uniform()
                 binit = nn.initializers.zeros_init()
-            x = WNDense(
+            dense = WNDense(
                 features=out_dim,
                 use_weight_norm=spec.weight_norm,
                 kernel_init=kinit,
                 bias_init=binit,
                 dtype=spec.dtype,
                 name=f"layer_{layer}",
-            )(x)
-            if layer < n_layers - 1:
-                x = act(x)
+            )
+            if fused:
+                w, b = dense(jnp.zeros((1, cur_width), jnp.float32), weights_only=True)
+                ws.append(w)
+                bs.append(b)
+            else:
+                x = dense(x)
+                if layer < n_layers - 1:
+                    x = act(x)
+            cur_width = out_dim
+        if fused:
+            from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_chain
+
+            lead = x.shape[:-1]
+            y = fused_chain(
+                x.reshape(-1, in_dim), ws, bs,
+                skip=spec.skip_connections, activation=spec.activation,
+                beta=spec.activation_beta,
+            )
+            x = y.reshape(*lead, self.output_dim)
         # bf16 stays contained in the matmul chain: downstream rendering
         # math (NeuS weights, compositing, losses) runs f32
         return out_act(x).astype(jnp.float32)

@@ -48,7 +48,12 @@ from multimodalstudio_tpu.fields.fields import (
     SDFField,
     SDFFieldSpec,
 )
-from multimodalstudio_tpu.fields.mlp import MLPSpec, finalize_weight_norm
+from multimodalstudio_tpu.fields.mlp import (
+    MLPSpec,
+    can_fuse,
+    effective_mlp_weights,
+    finalize_weight_norm,
+)
 from multimodalstudio_tpu.models.colliders import background_bounds, sphere_collide
 from multimodalstudio_tpu.models.samplers import (
     NeuSSamplerSpec,
@@ -284,6 +289,56 @@ class MMSModel:
         lvl = schedules.active_level
 
         if not spec.use_numerical_gradients:
+            fspec = self.sdf_field.spec
+            use_fused = (
+                fspec.field.grid is None
+                and can_fuse(fspec.field.mlp)
+                and fspec.field.mlp.out_activation in (None, "None")
+                and not (train and spec.compute_hessian)
+            )
+            if use_fused:
+                # Fused Pallas chain: primal + 3 basis tangents propagate
+                # through the whole MLP in VMEM (ops/pallas/fused_mlp) —
+                # replaces vmap(jacfwd) whose [N, 3, hidden] tangent
+                # activations round-trip HBM at every layer. Encoding (and
+                # contraction) tangents are chained outside in XLA (cheap,
+                # elementwise).
+                from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_chain
+
+                flat = positions.reshape(-1, 3)
+
+                def enc(p):
+                    if spec.contraction_order is not None:
+                        p = scene_contraction(p, spec.contraction_order)
+                    if fspec.use_position_encoding:
+                        p = fspec.position_encoding.apply(p)
+                    return p
+
+                tangs = []
+                for k in range(3):
+                    e = jnp.zeros_like(flat).at[:, k].set(1.0)
+                    primal, t = jax.jvp(enc, (flat,), (e,))
+                    tangs.append(t)
+                tx = jnp.stack(tangs)  # [3, N, D_enc]
+                mspec = fspec.field.mlp
+                ws, bs = effective_mlp_weights(
+                    params["surface_field"]["field"]["mlp"], mspec
+                )
+                # tangent_out_channel=0: only d(sdf)/dx leaves the kernel,
+                # as a lane-aligned [N, 3] f32 — a full [3, N, 257] tangent
+                # output invites K-minor layouts with 42x pad expansion
+                y, grad = fused_chain(
+                    primal, ws, bs,
+                    skip=mspec.skip_connections, activation=mspec.activation,
+                    beta=mspec.activation_beta, tangents=tx,
+                    tangent_out_channel=0,
+                )
+                y = y.astype(jnp.float32)
+                sdf = y[:, 0].reshape(positions.shape[:-1])
+                geo = y[:, 1:].reshape(*positions.shape[:-1], -1)
+                gradients = grad.reshape(positions.shape)
+                return sdf, geo, gradients, None
+
             # vmap(jacfwd(has_aux)) computes value, geo feature and gradient
             # in ONE field pass: the body instantiates once with a batched
             # tangent dim (vs 3 jvp calls + a separate primal evaluation —

@@ -1,0 +1,589 @@
+"""Fully-fused dense-chain (MLP) Pallas TPU kernels.
+
+The TPU answer to tiny-cuda-nn's FullyFusedMLP (reference
+src/field_components/mlp.py:223-293). XLA fuses elementwise ops *into*
+matmuls but materializes every layer's activations in HBM between layers —
+and under forward-mode SDF gradients every tangent tensor too: one
+[163840, 3, 256] bf16 tangent activation is ~250 MB, and the profiled
+train step runs at ~680 GB/s HBM-bound with the MXU ~6% busy. These
+kernels run the whole layer chain for a block of samples out of VMEM, so
+inter-layer activations (and tangents) never touch HBM: per block the
+kernel reads the input once and writes the output once.
+
+Primitives (each a custom_vjp whose forward AND backward are Pallas):
+
+  fused_chain(x, weights, biases, ...)                 -> y
+  fused_chain(x, weights, biases, tangents=tx, ...)    -> (y, ty)
+
+The K-tangent variant propagates forward-mode directional derivatives
+through the chain alongside the primal (t_l = (t_{l-1} @ W_l) * act'(z_l))
+— replacing `jax.jacfwd` over the field for NeuS SDF spatial gradients
+(models/model.py::sdf_gradients). Its hand-derived backward transposes the
+linearized tangent chain, including the second-order act''(z) term that
+grad-of-jacfwd requires.
+
+Compute layout: matmul inputs bf16, MXU accumulation f32, inter-layer
+activations stored bf16 (the validated `mlp_raw_tpu` recipe); weight/bias
+gradients accumulate in f32 VMEM across the sample grid. Hidden layers all
+share one width; one optional concat-skip re-feeds the (padded) network
+input scaled by 1/sqrt(2), matching fields/mlp.py::MLP semantics
+(reference mlp.py:115-171).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+_SKIP_SCALE = 1.0 / np.sqrt(2.0)
+
+
+def _rup(n: int, m: int = LANE) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainSpec:
+    """Static (padded) geometry of one fused chain."""
+
+    in_dims: Tuple[int, ...]  # padded input width per layer
+    out_dims: Tuple[int, ...]  # padded output width per layer
+    skip: Tuple[int, ...]  # layers whose input is concat(h, x0)/sqrt(2)
+    activation: str  # hidden activation: 'ReLU' | 'SoftplusQuad' | 'None'
+    beta: float
+    n_tangents: int  # 0 (plain chain) or K forward tangents
+    block: int  # samples per grid step
+    # When set, the JVP variant emits only output-channel `c`'s tangents,
+    # as a lane-aligned [N, LANE] f32 buffer (cols 0..K-1 = dy_c/dt_k) —
+    # a full [K, N, D_out] ty in HBM invites pathological K-minor layouts
+    # (observed: 42.7x pad expansion = 15 GB on the train step).
+    tangent_out_channel: Optional[int] = None
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.out_dims)
+
+
+def _f32(fn):
+    # Mosaic (v5e) rejects vector comparisons on packed bf16 — every
+    # activation/derivative upcasts to f32 at entry so bf16-stored
+    # pre-activations are safe at all call sites.
+    return lambda z: fn(z.astype(jnp.float32))
+
+
+def _act_triple(spec: ChainSpec):
+    """(act, act', act'') for the hidden activation. act'' is None when 0."""
+    if spec.activation == "None":
+        return (lambda z: z.astype(jnp.float32)), _f32(jnp.ones_like), None
+    if spec.activation == "ReLU":
+        return (
+            _f32(lambda z: jnp.maximum(z, 0.0)),
+            _f32(lambda z: (z > 0).astype(z.dtype)),
+            None,
+        )
+    if spec.activation == "SoftplusQuad":
+        # C^1 piecewise-quadratic softplus(beta z)/beta stand-in; matches
+        # fields/mlp.py::make_activation('SoftplusQuad').
+        a = 2.0 / spec.beta
+
+        def f(z):
+            return jnp.where(jnp.abs(z) < a, (z + a) * (z + a) * (0.25 / a), jnp.maximum(z, 0.0))
+
+        def df(z):
+            return jnp.where(jnp.abs(z) < a, (z + a) * (0.5 / a), (z > 0).astype(z.dtype))
+
+        def ddf(z):
+            return jnp.where(jnp.abs(z) < a, jnp.full_like(z, 0.5 / a), jnp.zeros_like(z))
+
+        return _f32(f), _f32(df), _f32(ddf)
+    raise ValueError(f"unsupported fused activation {spec.activation}")
+
+
+def _tdot(t, w):
+    """[K, B, Din] @ [Din, D] -> [K, B, D] f32 via one row-collapsed MXU dot."""
+    k, b, din = t.shape
+    out = jax.lax.dot_general(
+        t.reshape(k * b, din), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    return out.reshape(k, b, w.shape[1])
+
+
+# --------------------------------------------------------------- forward
+
+def _fwd_kernel(spec: ChainSpec, *refs):
+    L, K = spec.n_layers, spec.n_tangents
+    p = 0
+    x_ref = refs[p]; p += 1
+    tx_ref = None
+    if K:
+        tx_ref = refs[p]; p += 1
+    ws = refs[p:p + L]; bs = refs[p + L:p + 2 * L]
+    y_ref = refs[p + 2 * L]
+    ty_ref = refs[p + 2 * L + 1] if K else None
+
+    f, df, _ = _act_triple(spec)
+    x0 = x_ref[:]  # [B, P0] bf16
+    h = x0
+    t = t0 = tx_ref[:] if K else None  # [K, B, P0] bf16
+    for l in range(L):
+        if l in spec.skip:
+            h = (jnp.concatenate([h, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+            if K:
+                t = (jnp.concatenate([t, t0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+        w = ws[l][:]  # bf16 (cast once per step outside the kernel)
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT) + bs[l][:]  # [B, D] f32
+        if K:
+            u = _tdot(t, w)  # [K, B, D] f32
+        if l < L - 1:
+            h = f(z).astype(jnp.bfloat16)
+            if K:
+                t = (u * df(z)[None]).astype(jnp.bfloat16)
+        else:
+            h = z.astype(jnp.bfloat16)
+            if K:
+                t = u  # last-layer tangents kept f32 (pre-cast)
+    y_ref[:] = h
+    if K:
+        if spec.tangent_out_channel is not None:
+            g = t[:, :, spec.tangent_out_channel].T  # [B, K] f32
+            b = g.shape[0]
+            ty_ref[:] = jnp.concatenate(
+                [g, jnp.zeros((b, LANE - K), jnp.float32)], axis=-1
+            )
+        else:
+            ty_ref[:] = t.astype(jnp.bfloat16)
+
+
+# -------------------------------------------------------------- backward
+
+def _bwd_kernel(spec: ChainSpec, *refs):
+    """Transposed chain: recompute forward (stacks in VMEM), reverse sweep.
+
+    Inputs:  x, (tx), gy, (gty), W_0..L-1, b_0..L-1
+    Outputs: gx, (gtx), gW_0..L-1, gb_0..L-1   (gW/gb accumulate over grid)
+    Scratch: z_stack [L-1, B, H], (u_stack [L-1, K, B, H])
+    """
+    L, K = spec.n_layers, spec.n_tangents
+    p = 0
+    x_ref = refs[p]; p += 1
+    tx_ref = None
+    if K:
+        tx_ref = refs[p]; p += 1
+    gy_ref = refs[p]; p += 1
+    gty_ref = None
+    if K:
+        gty_ref = refs[p]; p += 1
+    ws = refs[p:p + L]; bs = refs[p + L:p + 2 * L]; p += 2 * L
+    gx_ref = refs[p]; p += 1
+    gtx_ref = None
+    if K:
+        gtx_ref = refs[p]; p += 1
+    gw_refs = refs[p:p + L]; gb_refs = refs[p + L:p + 2 * L]; p += 2 * L
+    z_stack = refs[p]; p += 1
+    u_stack = refs[p] if K else None
+
+    f, df, ddf = _act_triple(spec)
+    first = pl.program_id(0) == 0
+    P0 = spec.in_dims[0]
+
+    x0 = x_ref[:]
+    t0 = tx_ref[:] if K else None
+    wl = [ws[l][:] for l in range(L)]  # bf16 (cast outside the kernel)
+
+    # ---- forward recompute, storing pre-activations (and tangent pre-acts)
+    h = x0
+    t = t0
+    for l in range(L - 1):
+        if l in spec.skip:
+            h = (jnp.concatenate([h, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+            if K:
+                t = (jnp.concatenate([t, t0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+        z = jnp.dot(h, wl[l], preferred_element_type=jnp.float32) + bs[l][:]
+        zb = z.astype(jnp.bfloat16)
+        z_stack[l] = zb
+        if K:
+            u = _tdot(t, wl[l])
+            ub = u.astype(jnp.bfloat16)
+            u_stack[l] = ub
+            t = (ub * df(zb)[None]).astype(jnp.bfloat16)
+        h = f(z).astype(jnp.bfloat16)
+
+    def layer_input(l):
+        """(hin, tin) as fed to layer l's matmul (bf16)."""
+        if l == 0:
+            hin, tin = x0, t0
+        else:
+            zp = z_stack[l - 1]
+            hin = f(zp.astype(jnp.float32)).astype(jnp.bfloat16)
+            tin = (u_stack[l - 1][:] * df(zp)[None]).astype(jnp.bfloat16) if K else None
+        if l in spec.skip:
+            hin = (jnp.concatenate([hin, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+            if K:
+                tin = (jnp.concatenate([tin, t0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+        return hin, tin
+
+    # ---- reverse sweep
+    gh = gy_ref[:].astype(jnp.float32)  # [B, D_L]
+    gt = None
+    if K:
+        if spec.tangent_out_channel is not None:
+            # gty arrives as [B, LANE] f32 (cols 0..K-1); scatter it back
+            # into the (sparse) last-layer tangent cotangent [K, B, D_L]
+            gg = gty_ref[:][:, :K].T[:, :, None]  # [K, B, 1]
+            b, dl = gh.shape
+            ch = spec.tangent_out_channel
+            parts = []
+            if ch > 0:
+                parts.append(jnp.zeros((K, b, ch), jnp.float32))
+            parts.append(gg)
+            if dl - ch - 1 > 0:
+                parts.append(jnp.zeros((K, b, dl - ch - 1), jnp.float32))
+            gt = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else gg
+        else:
+            gt = gty_ref[:].astype(jnp.float32)
+    gx0 = jnp.zeros((x0.shape[0], P0), jnp.float32)
+    gtx0 = jnp.zeros((K, x0.shape[0], P0), jnp.float32) if K else None
+
+    for l in reversed(range(L)):
+        if l == L - 1:
+            gz = gh
+            gu = gt
+        else:
+            zb = z_stack[l]
+            d1 = df(zb).astype(jnp.float32)
+            gz = gh * d1
+            if K:
+                gu = gt * d1[None]
+                if ddf is not None:
+                    u = u_stack[l][:].astype(jnp.float32)
+                    gz = gz + jnp.sum(gt * u, axis=0) * ddf(zb.astype(jnp.float32))
+        hin, tin = layer_input(l)
+        gzb = gz.astype(jnp.bfloat16)
+        # weight/bias grads, f32-accumulated across the sample grid
+        gw = jax.lax.dot_general(
+            hin, gzb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+        )
+        if K:
+            kb = K * tin.shape[1]
+            gub = gu.astype(jnp.bfloat16)
+            gw = gw + jax.lax.dot_general(
+                tin.reshape(kb, tin.shape[2]), gub.reshape(kb, gub.shape[2]),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+            )
+        gb = jnp.sum(gz, axis=0, keepdims=True)
+
+        gw_ref, gb_ref = gw_refs[l], gb_refs[l]
+
+        @pl.when(first)
+        def _():
+            gw_ref[:] = gw
+            gb_ref[:] = gb
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            gw_ref[:] = gw_ref[:] + gw
+            gb_ref[:] = gb_ref[:] + gb
+
+        # propagate to the layer input
+        ghp = jax.lax.dot_general(
+            gzb, wl[l], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+        )
+        if K:
+            kb = K * gu.shape[1]
+            gub2 = gu.astype(jnp.bfloat16).reshape(kb, gu.shape[2])
+            gtp = jax.lax.dot_general(
+                gub2, wl[l], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+            ).reshape(K, gu.shape[1], -1)
+        if l in spec.skip:
+            hwidth = spec.in_dims[l] - P0
+            gh = ghp[:, :hwidth] * _SKIP_SCALE
+            gx0 = gx0 + ghp[:, hwidth:] * _SKIP_SCALE
+            if K:
+                gt = gtp[:, :, :hwidth] * _SKIP_SCALE
+                gtx0 = gtx0 + gtp[:, :, hwidth:] * _SKIP_SCALE
+        else:
+            gh = ghp
+            if K:
+                gt = gtp
+
+    gx_ref[:] = gh + gx0
+    if K:
+        gtx_ref[:] = gt + gtx0
+
+
+# ------------------------------------------------------------ pallas glue
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
+    """custom_vjp fused chain over padded arrays.
+
+    Signature: chain(xp [N,P0] bf16, txp [K,N,P0] bf16 | None,
+                     wps tuple of f32 [din,dout], bps tuple of f32 [1,dout])
+    -> (y [N,DL] bf16, ty [K,N,DL] bf16 | None)
+    """
+    L, K, B = spec.n_layers, spec.n_tangents, spec.block
+    assert n_total % B == 0
+    grid = (n_total // B,)
+    P0, DL = spec.in_dims[0], spec.out_dims[-1]
+    H = spec.out_dims[0] if L > 1 else DL
+
+    w_specs = [_const_spec((din, dout)) for din, dout in zip(spec.in_dims, spec.out_dims)]
+    b_specs = [_const_spec((1, dout)) for dout in spec.out_dims]
+    x_spec = pl.BlockSpec((B, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    tx_spec = pl.BlockSpec((K, B, P0), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    y_spec = pl.BlockSpec((B, DL), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    chan = spec.tangent_out_channel is not None
+    if chan:
+        ty_spec = pl.BlockSpec((B, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ty_shape = jax.ShapeDtypeStruct((n_total, LANE), jnp.float32)
+    else:
+        ty_spec = pl.BlockSpec((K, B, DL), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+        ty_shape = jax.ShapeDtypeStruct((K, n_total, DL), jnp.bfloat16)
+
+    fwd_in = [x_spec] + ([tx_spec] if K else []) + w_specs + b_specs
+    fwd_out = [y_spec] + ([ty_spec] if K else [])
+    fwd_shapes = [jax.ShapeDtypeStruct((n_total, DL), jnp.bfloat16)] + (
+        [ty_shape] if K else []
+    )
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, spec),
+        grid=grid,
+        in_specs=fwd_in,
+        out_specs=fwd_out,
+        out_shape=fwd_shapes,
+        interpret=interpret,
+    )
+
+    bwd_in = (
+        [x_spec] + ([tx_spec] if K else []) + [y_spec] + ([ty_spec] if K else [])
+        + w_specs + b_specs
+    )
+    bwd_out = (
+        [pl.BlockSpec((B, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + ([pl.BlockSpec((K, B, P0), lambda i: (0, i, 0), memory_space=pltpu.VMEM)] if K else [])
+        + [_const_spec((din, dout)) for din, dout in zip(spec.in_dims, spec.out_dims)]
+        + [_const_spec((1, dout)) for dout in spec.out_dims]
+    )
+    bwd_shapes = (
+        [jax.ShapeDtypeStruct((n_total, P0), jnp.float32)]
+        + ([jax.ShapeDtypeStruct((K, n_total, P0), jnp.float32)] if K else [])
+        + [jax.ShapeDtypeStruct((din, dout), jnp.float32)
+           for din, dout in zip(spec.in_dims, spec.out_dims)]
+        + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in spec.out_dims]
+    )
+    scratch = [pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16)]
+    if K:
+        scratch.append(pltpu.VMEM((max(L - 1, 1), K, B, H), jnp.bfloat16))
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, spec),
+        grid=grid,
+        in_specs=bwd_in,
+        out_specs=bwd_out,
+        out_shape=bwd_shapes,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def chain(xp, txp, wps, bps):
+        wbs = [w.astype(jnp.bfloat16) for w in wps]
+        # the kernels' bf16 dots must not inherit an f32 global matmul
+        # precision (Trainer sets jax_default_matmul_precision=float32):
+        # Mosaic rejects contract_precision<fp32> on bf16 vectors
+        with jax.default_matmul_precision("bfloat16"):
+            outs = fwd_call(*([xp] + ([txp] if K else []) + wbs + list(bps)))
+        return (outs[0], outs[1] if K else None)
+
+    def chain_fwd(xp, txp, wps, bps):
+        return chain(xp, txp, wps, bps), (xp, txp, wps, bps)
+
+    def chain_bwd(res, g):
+        xp, txp, wps, bps = res
+        gy, gty = g
+        gyb = gy.astype(jnp.bfloat16)
+        args = [xp] + ([txp] if K else []) + [gyb]
+        if K:
+            args.append(gty.astype(jnp.float32) if chan else gty.astype(jnp.bfloat16))
+        args += [w.astype(jnp.bfloat16) for w in wps] + list(bps)
+        with jax.default_matmul_precision("bfloat16"):
+            outs = bwd_call(*args)
+        q = 0
+        gx = outs[q]; q += 1
+        gtx = None
+        if K:
+            gtx = outs[q]; q += 1
+        gws = tuple(outs[q:q + L]); gbs = tuple(outs[q + L:q + 2 * L])
+        return gx, gtx, gws, gbs
+
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
+
+
+# ------------------------------------------------------------- public API
+
+def _chain_geometry(d_in: int, weights: Sequence[jnp.ndarray], skip: Tuple[int, ...]):
+    """Padded per-layer (in, out) dims; validates uniform hidden width."""
+    L = len(weights)
+    p0 = _rup(d_in)
+    hidden = weights[0].shape[1]  # layer-0 output is the hidden width (L > 1)
+    if hidden % LANE != 0:
+        raise ValueError(f"hidden width {hidden} must be a multiple of {LANE}")
+    in_dims, out_dims = [], []
+    for l, w in enumerate(weights):
+        if l == 0:
+            if w.shape[0] != d_in:
+                raise ValueError("layer 0 input width mismatch")
+            din = p0
+        elif l in skip:
+            if w.shape[0] != hidden + d_in:
+                raise ValueError("skip layer input width mismatch")
+            din = hidden + p0
+        else:
+            if w.shape[0] != hidden:
+                raise ValueError(f"layer {l} input width {w.shape[0]} != hidden {hidden}")
+            din = hidden
+        in_dims.append(din)
+        out_dims.append(_rup(w.shape[1]))
+    return tuple(in_dims), tuple(out_dims), p0, hidden
+
+
+def _pad_weight(w, l, din, dout, d_in, hidden, skip):
+    wp = jnp.zeros((din, dout), jnp.float32)
+    if l in skip:
+        wp = wp.at[:hidden, : w.shape[1]].set(w[:hidden].astype(jnp.float32))
+        wp = wp.at[hidden:hidden + d_in, : w.shape[1]].set(w[hidden:].astype(jnp.float32))
+    else:
+        wp = wp.at[: w.shape[0], : w.shape[1]].set(w.astype(jnp.float32))
+    return wp
+
+
+def fused_chain(
+    x: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    *,
+    skip: Tuple[int, ...] = (),
+    activation: str = "ReLU",
+    beta: float = 100.0,
+    tangents: Optional[jnp.ndarray] = None,
+    tangent_out_channel: Optional[int] = None,
+    block: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Run the fused dense chain; returns y (and ty when tangents given).
+
+    x: [N, D_in] (any float dtype; cast to bf16). weights[l]: [din_l, dout_l]
+    effective (weight-norm applied) f32 matrices; biases[l]: [dout_l].
+    tangents: [K, N, D_in] forward-mode input tangents or None.
+    Returns y [N, D_out] bf16 pre-output-activation (and ty [K, N, D_out]
+    bf16 — or, with tangent_out_channel=c, just dy_c/dt as [N, K] f32).
+    Callers apply the output activation / f32 cast, matching
+    fields/mlp.py::MLP.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = len(weights)
+    n, d_in = x.shape
+    d_out = weights[-1].shape[1]
+    in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
+    k = 0 if tangents is None else tangents.shape[0]
+
+    n_pad = _rup(n, block)
+    xp = jnp.zeros((n_pad, p0), jnp.bfloat16).at[:n, :d_in].set(x.astype(jnp.bfloat16))
+    txp = None
+    if k:
+        txp = (
+            jnp.zeros((k, n_pad, p0), jnp.bfloat16)
+            .at[:, :n, :d_in].set(tangents.astype(jnp.bfloat16))
+        )
+    wps = tuple(
+        _pad_weight(w, l, din, dout, d_in, hidden, skip)
+        for l, (w, din, dout) in enumerate(zip(weights, in_dims, out_dims))
+    )
+    bps = tuple(
+        jnp.zeros((1, dout), jnp.float32).at[0, : b.shape[0]].set(b.astype(jnp.float32))
+        for b, dout in zip(biases, out_dims)
+    )
+
+    spec = ChainSpec(
+        in_dims=in_dims, out_dims=out_dims, skip=tuple(sorted(skip)),
+        activation=activation, beta=beta, n_tangents=k, block=block,
+        tangent_out_channel=tangent_out_channel,
+    )
+    chain = _build_chain(spec, n_pad, interpret)
+    y, ty = chain(xp, txp, wps, bps)
+    y = y[:n, :d_out]
+    if k:
+        if tangent_out_channel is not None:
+            return y, ty[:n, :k]
+        return y, ty[:, :n, :d_out]
+    return y
+
+
+# ---------------------------------------------------- reference (testing)
+
+def chain_reference(
+    x, weights, biases, *, skip=(), activation="ReLU", beta=100.0, tangents=None
+):
+    """Pure-XLA mirror of the kernel math (same bf16 cast points)."""
+    spec = ChainSpec((), (), tuple(skip), activation, beta, 0, 0)
+    f, df, _ = _act_triple(spec)
+    L = len(weights)
+    x0 = x.astype(jnp.bfloat16)
+    h = x0
+    t = t0 = None if tangents is None else tangents.astype(jnp.bfloat16)
+    for l in range(L):
+        if l in skip:
+            h = (jnp.concatenate([h, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+            if t is not None:
+                t = (jnp.concatenate([t, t0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+        w = weights[l].astype(jnp.bfloat16)
+        z = jax.lax.dot_general(
+            h, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+        ) + biases[l].astype(jnp.float32)
+        if t is not None:
+            k, nn_, din = t.shape
+            u = jax.lax.dot_general(
+                t.reshape(k * nn_, din), w,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+            ).reshape(k, nn_, w.shape[1])
+        if l < L - 1:
+            h = f(z).astype(jnp.bfloat16)
+            if t is not None:
+                t = (u * df(z)[None]).astype(jnp.bfloat16)
+        else:
+            h = z.astype(jnp.bfloat16)
+            if t is not None:
+                t = u.astype(jnp.bfloat16)
+    if tangents is None:
+        return h
+    return h, t
