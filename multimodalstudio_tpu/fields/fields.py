@@ -113,7 +113,12 @@ class RadianceField(nn.Module):
         additional_inputs: jnp.ndarray,
         active_level=None,
     ) -> jnp.ndarray:
-        x = jnp.concatenate([positions, view_directions, additional_inputs], axis=-1)
+        parts = [positions, view_directions, additional_inputs]
+        if self.spec.base_field.mlp.dtype == "bfloat16" and self.spec.base_field.grid is None:
+            # the trunk consumes bf16 anyway — casting the pieces first
+            # keeps the wide [N, 541] concat out of f32 HBM traffic
+            parts = [p.astype(jnp.bfloat16) for p in parts]
+        x = jnp.concatenate(parts, axis=-1)
         return FieldComponent(self.spec.base_field, output_dim=self.output_dim, name="base_field")(
             x, active_level
         )

@@ -297,42 +297,66 @@ class MMSModel:
                 and not (train and spec.compute_hessian)
             )
             if use_fused:
-                # Fused Pallas chain: primal + 3 basis tangents propagate
-                # through the whole MLP in VMEM (ops/pallas/fused_mlp) —
-                # replaces vmap(jacfwd) whose [N, 3, hidden] tangent
-                # activations round-trip HBM at every layer. Encoding (and
-                # contraction) tangents are chained outside in XLA (cheap,
-                # elementwise).
-                from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_chain
+                # Fused Pallas chain: the NeRF frequency encoding, its
+                # Jacobian (3 basis tangents) and the whole MLP evaluate in
+                # VMEM (ops/pallas/fused_mlp) — replaces vmap(jacfwd) whose
+                # [N, 3, hidden] tangent activations round-trip HBM at every
+                # layer. Raw positions in; sdf + features + d(sdf)/dx out.
+                from multimodalstudio_tpu.ops.pallas.fused_mlp import (
+                    fused_chain,
+                    fused_sdf_chain,
+                )
 
                 flat = positions.reshape(-1, 3)
-
-                def enc(p):
-                    if spec.contraction_order is not None:
-                        p = scene_contraction(p, spec.contraction_order)
-                    if fspec.use_position_encoding:
-                        p = fspec.position_encoding.apply(p)
-                    return p
-
-                tangs = []
-                for k in range(3):
-                    e = jnp.zeros_like(flat).at[:, k].set(1.0)
-                    primal, t = jax.jvp(enc, (flat,), (e,))
-                    tangs.append(t)
-                tx = jnp.stack(tangs)  # [3, N, D_enc]
                 mspec = fspec.field.mlp
                 ws, bs = effective_mlp_weights(
                     params["surface_field"]["field"]["mlp"], mspec
                 )
-                # tangent_out_channel=0: only d(sdf)/dx leaves the kernel,
-                # as a lane-aligned [N, 3] f32 — a full [3, N, 257] tangent
-                # output invites K-minor layouts with 42x pad expansion
-                y, grad = fused_chain(
-                    primal, ws, bs,
-                    skip=mspec.skip_connections, activation=mspec.activation,
-                    beta=mspec.activation_beta, tangents=tx,
-                    tangent_out_channel=0,
-                )
+                pspec = fspec.position_encoding
+                if (
+                    spec.contraction_order is None
+                    and fspec.use_position_encoding
+                    and pspec.include_input
+                ):
+                    sdf_flat, geo_flat, grad = fused_sdf_chain(
+                        flat, ws, bs,
+                        num_frequencies=pspec.num_frequencies,
+                        min_freq_exp=pspec.min_freq_exp,
+                        max_freq_exp=pspec.max_freq_exp,
+                        skip=mspec.skip_connections,
+                        activation=mspec.activation,
+                        beta=mspec.activation_beta,
+                        tangent_out_channel=0,
+                    )
+                    sdf = sdf_flat.reshape(positions.shape[:-1])
+                    # geo stays bf16: its only consumer is the radiance
+                    # trunk concat, which runs bf16 — an f32 round trip
+                    # would materialize another [N, 256] tensor
+                    geo = geo_flat.reshape(*positions.shape[:-1], -1)
+                    gradients = grad.reshape(positions.shape)
+                    return sdf, geo, gradients, None
+                else:
+                    # generic path: encoding/contraction tangents chained
+                    # outside in XLA, kernel gets explicit input tangents
+                    def enc(p):
+                        if spec.contraction_order is not None:
+                            p = scene_contraction(p, spec.contraction_order)
+                        if fspec.use_position_encoding:
+                            p = pspec.apply(p)
+                        return p
+
+                    tangs = []
+                    for k in range(3):
+                        e = jnp.zeros_like(flat).at[:, k].set(1.0)
+                        primal, t = jax.jvp(enc, (flat,), (e,))
+                        tangs.append(t)
+                    tx = jnp.stack(tangs)  # [3, N, D_enc]
+                    y, grad = fused_chain(
+                        primal, ws, bs,
+                        skip=mspec.skip_connections, activation=mspec.activation,
+                        beta=mspec.activation_beta, tangents=tx,
+                        tangent_out_channel=0,
+                    )
                 y = y.astype(jnp.float32)
                 sdf = y[:, 0].reshape(positions.shape[:-1])
                 geo = y[:, 1:].reshape(*positions.shape[:-1], -1)

@@ -66,6 +66,19 @@ class ChainSpec:
     # a full [K, N, D_out] ty in HBM invites pathological K-minor layouts
     # (observed: 42.7x pad expansion = 15 GB on the train step).
     tangent_out_channel: Optional[int] = None
+    # NeRF frequency encoding fused in-kernel: (F, min_exp, max_exp) with
+    # include_input=True over 3-D positions. The kernel input becomes raw
+    # positions [N, LANE] f32; enc, its Jacobian (the 3 basis tangents) and
+    # the Hessian diagonal (enc'' = -s^2 enc, needed by the backward) are
+    # computed in VMEM — no [3, N, P0] tangent tensors in HBM at all.
+    enc: Optional[Tuple[int, float, float]] = None
+    # SDF output split: emit (sdf+grad [N, LANE] f32: col 0 = y[:, 0],
+    # cols 1..K = d y[:,0]/dx, and geo [N, rup(D_out-1)] bf16) instead of
+    # one padded [N, DL] y — downstream consumers read y[:, 0] and
+    # y[:, 1:] separately, and slicing a fat padded tensor was measured to
+    # cost ~26 ms/step in re-read cotangent fusions.
+    sdf_split: bool = False
+    geo_width: int = 0  # padded geo-feature width for sdf_split mode
 
     @property
     def n_layers(self) -> int:
@@ -119,6 +132,83 @@ def _tdot(t, w):
     return out.reshape(k, b, w.shape[1])
 
 
+# ------------------------------------------------- in-kernel NeRF encoding
+
+def _enc_consts(spec: ChainSpec):
+    """(freq row [1, 3F], coord masks 3x[1, 3F]) built in-kernel from iota
+    (Pallas kernels may not capture array constants).
+
+    Column order matches ops/encodings.py::nerf_encoding for D=3 with
+    include_input: [x(3), sin(scaled)(3F, d-major), sin(scaled+pi/2)(3F)].
+    """
+    F, mn, mx = spec.enc
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * F), 1)
+    fidx = (col % F).astype(jnp.float32)
+    coord = col // F
+    step = 0.0 if F == 1 else (mx - mn) / (F - 1)
+    svec = jnp.exp2(mn + fidx * step)  # [1, 3F] frequency scale per column
+    masks = [(coord == k).astype(jnp.float32) for k in range(3)]
+    return svec, masks
+
+
+def _enc_fwd(spec: ChainSpec, pos):
+    """pos [B, LANE] f32 (cols 0..2 used) -> (h0 bf16 [B, P0],
+    t0 bf16 [3, B, P0], sin/cos parts f32 for the backward)."""
+    F, _, _ = spec.enc
+    p0 = spec.in_dims[0]
+    b = pos.shape[0]
+    svec, masks = _enc_consts(spec)
+    x3 = pos[:, :3]
+    # scaled[b, c] = x_{coord(c)} * s_c, d-major columns
+    scaled = sum(pos[:, d:d + 1] * masks[d] for d in range(3)) * svec
+    sin_p = jnp.sin(scaled)
+    cos_p = jnp.cos(scaled)
+    pad = p0 - 3 - 6 * F
+    zpad = [jnp.zeros((b, pad), jnp.float32)] if pad else []
+    h0 = jnp.concatenate([x3, sin_p, cos_p] + zpad, axis=-1).astype(jnp.bfloat16)
+    dsin = cos_p * svec
+    dcos = -sin_p * svec
+    eye3 = jax.lax.broadcasted_iota(jnp.int32, (b, 3), 1)
+    t0 = jnp.stack(
+        [
+            jnp.concatenate(
+                [(eye3 == k).astype(jnp.float32),
+                 dsin * masks[k], dcos * masks[k]] + zpad,
+                axis=-1,
+            )
+            for k in range(3)
+        ]
+    ).astype(jnp.bfloat16)
+    return h0, t0, sin_p, cos_p
+
+
+def _enc_bwd(spec: ChainSpec, sin_p, cos_p, gh0, gt0):
+    """Transpose of (enc, J_enc) wrt positions: gh0 [B, P0] f32 cotangent of
+    enc, gt0 [3, B, P0] f32 cotangent of the basis tangents -> [B, LANE]
+    f32 position cotangent (cols 0..2). Uses enc'' = -s^2 enc."""
+    F, _, _ = spec.enc
+    svec, masks = _enc_consts(spec)
+    b = gh0.shape[0]
+    s1, s2 = 3, 3 + 3 * F
+    dsin = cos_p * svec
+    dcos = -sin_p * svec
+    d2sin = -sin_p * svec * svec
+    d2cos = -cos_p * svec * svec
+    gs = gh0[:, s1:s2]
+    gc = gh0[:, s2:s2 + 3 * F]
+    cols = []
+    for k in range(3):
+        gts = gt0[k][:, s1:s2]
+        gtc = gt0[k][:, s2:s2 + 3 * F]
+        gk = gh0[:, k:k + 1]
+        gk = gk + jnp.sum((gs * dsin + gts * d2sin) * masks[k], axis=-1, keepdims=True)
+        gk = gk + jnp.sum((gc * dcos + gtc * d2cos) * masks[k], axis=-1, keepdims=True)
+        cols.append(gk)
+    return jnp.concatenate(
+        cols + [jnp.zeros((b, LANE - 3), jnp.float32)], axis=-1
+    )
+
+
 # --------------------------------------------------------------- forward
 
 def _fwd_kernel(spec: ChainSpec, *refs):
@@ -126,16 +216,20 @@ def _fwd_kernel(spec: ChainSpec, *refs):
     p = 0
     x_ref = refs[p]; p += 1
     tx_ref = None
-    if K:
+    if K and spec.enc is None:
         tx_ref = refs[p]; p += 1
     ws = refs[p:p + L]; bs = refs[p + L:p + 2 * L]
     y_ref = refs[p + 2 * L]
     ty_ref = refs[p + 2 * L + 1] if K else None
 
     f, df, _ = _act_triple(spec)
-    x0 = x_ref[:]  # [B, P0] bf16
+    if spec.enc is not None:
+        x0, t0, _, _ = _enc_fwd(spec, x_ref[:])
+    else:
+        x0 = x_ref[:]  # [B, P0] bf16
+        t0 = tx_ref[:] if K else None  # [K, B, P0] bf16
     h = x0
-    t = t0 = tx_ref[:] if K else None  # [K, B, P0] bf16
+    t = t0
     for l in range(L):
         if l in spec.skip:
             h = (jnp.concatenate([h, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
@@ -151,10 +245,21 @@ def _fwd_kernel(spec: ChainSpec, *refs):
             if K:
                 t = (u * df(z)[None]).astype(jnp.bfloat16)
         else:
-            h = z.astype(jnp.bfloat16)
+            h = z  # last layer kept f32 (pre-cast)
             if K:
                 t = u  # last-layer tangents kept f32 (pre-cast)
-    y_ref[:] = h
+    if spec.sdf_split:
+        # y_ref: sdf+grad [B, LANE] f32; ty_ref: geo [B, G] bf16
+        ch = spec.tangent_out_channel
+        b = h.shape[0]
+        g = t[:, :, ch].T  # [B, K] f32
+        y_ref[:] = jnp.concatenate(
+            [h[:, ch:ch + 1], g, jnp.zeros((b, LANE - K - 1), jnp.float32)], axis=-1
+        )
+        geo = h[:, 1:1 + ty_ref.shape[1]]
+        ty_ref[:] = geo.astype(jnp.bfloat16)
+        return
+    y_ref[:] = h.astype(jnp.bfloat16)
     if K:
         if spec.tangent_out_channel is not None:
             g = t[:, :, spec.tangent_out_channel].T  # [B, K] f32
@@ -176,10 +281,11 @@ def _bwd_kernel(spec: ChainSpec, *refs):
     Scratch: z_stack [L-1, B, H], (u_stack [L-1, K, B, H])
     """
     L, K = spec.n_layers, spec.n_tangents
+    enc = spec.enc is not None
     p = 0
     x_ref = refs[p]; p += 1
     tx_ref = None
-    if K:
+    if K and not enc:
         tx_ref = refs[p]; p += 1
     gy_ref = refs[p]; p += 1
     gty_ref = None
@@ -188,7 +294,7 @@ def _bwd_kernel(spec: ChainSpec, *refs):
     ws = refs[p:p + L]; bs = refs[p + L:p + 2 * L]; p += 2 * L
     gx_ref = refs[p]; p += 1
     gtx_ref = None
-    if K:
+    if K and not enc:
         gtx_ref = refs[p]; p += 1
     gw_refs = refs[p:p + L]; gb_refs = refs[p + L:p + 2 * L]; p += 2 * L
     z_stack = refs[p]; p += 1
@@ -198,8 +304,11 @@ def _bwd_kernel(spec: ChainSpec, *refs):
     first = pl.program_id(0) == 0
     P0 = spec.in_dims[0]
 
-    x0 = x_ref[:]
-    t0 = tx_ref[:] if K else None
+    if enc:
+        x0, t0, sin_p, cos_p = _enc_fwd(spec, x_ref[:])
+    else:
+        x0 = x_ref[:]
+        t0 = tx_ref[:] if K else None
     wl = [ws[l][:] for l in range(L)]  # bf16 (cast outside the kernel)
 
     # ---- forward recompute, storing pre-activations (and tangent pre-acts)
@@ -235,9 +344,26 @@ def _bwd_kernel(spec: ChainSpec, *refs):
         return hin, tin
 
     # ---- reverse sweep
-    gh = gy_ref[:].astype(jnp.float32)  # [B, D_L]
-    gt = None
-    if K:
+    if spec.sdf_split:
+        # gy_ref: sdf+grad cotangent [B, LANE] f32; gty_ref: geo [B, G] bf16
+        gsg = gy_ref[:]
+        ggeo = gty_ref[:].astype(jnp.float32)
+        b = gsg.shape[0]
+        dl = spec.out_dims[-1]
+        gcols = ggeo.shape[1]
+        tail = dl - 1 - gcols
+        parts = [gsg[:, :1], ggeo]
+        if tail > 0:
+            parts.append(jnp.zeros((b, tail), jnp.float32))
+        gh = jnp.concatenate(parts, axis=-1)
+        gg = gsg[:, 1:1 + K].T[:, :, None]  # [K, B, 1]
+        gt = jnp.concatenate(
+            [gg, jnp.zeros((K, b, dl - 1), jnp.float32)], axis=-1
+        )
+    else:
+        gh = gy_ref[:].astype(jnp.float32)  # [B, D_L]
+        gt = None
+    if K and not spec.sdf_split:
         if spec.tangent_out_channel is not None:
             # gty arrives as [B, LANE] f32 (cols 0..K-1); scatter it back
             # into the (sparse) last-layer tangent cotangent [K, B, D_L]
@@ -326,9 +452,12 @@ def _bwd_kernel(spec: ChainSpec, *refs):
             if K:
                 gt = gtp
 
-    gx_ref[:] = gh + gx0
-    if K:
-        gtx_ref[:] = gt + gtx0
+    if enc:
+        gx_ref[:] = _enc_bwd(spec, sin_p, cos_p, gh + gx0, gt + gtx0)
+    else:
+        gx_ref[:] = (gh + gx0).astype(gx_ref.dtype)
+        if K:
+            gtx_ref[:] = (gt + gtx0).astype(gtx_ref.dtype)
 
 
 # ------------------------------------------------------------ pallas glue
@@ -352,24 +481,36 @@ def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
     P0, DL = spec.in_dims[0], spec.out_dims[-1]
     H = spec.out_dims[0] if L > 1 else DL
 
+    enc = spec.enc is not None
+    has_tx = K > 0 and not enc  # enc mode computes tangents in-kernel
     w_specs = [_const_spec((din, dout)) for din, dout in zip(spec.in_dims, spec.out_dims)]
     b_specs = [_const_spec((1, dout)) for dout in spec.out_dims]
-    x_spec = pl.BlockSpec((B, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    xw = LANE if enc else P0  # enc mode: raw positions [N, LANE] f32
+    x_spec = pl.BlockSpec((B, xw), lambda i: (i, 0), memory_space=pltpu.VMEM)
     tx_spec = pl.BlockSpec((K, B, P0), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     y_spec = pl.BlockSpec((B, DL), lambda i: (i, 0), memory_space=pltpu.VMEM)
     chan = spec.tangent_out_channel is not None
-    if chan:
+    split = spec.sdf_split
+    if split:
+        # sdf+grad [N, LANE] f32 and geo [N, G] bf16
+        y_spec = pl.BlockSpec((B, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((n_total, LANE), jnp.float32)
+        ty_spec = pl.BlockSpec(
+            (B, spec.geo_width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        ty_shape = jax.ShapeDtypeStruct((n_total, spec.geo_width), jnp.bfloat16)
+    elif chan:
+        y_shape = jax.ShapeDtypeStruct((n_total, DL), jnp.bfloat16)
         ty_spec = pl.BlockSpec((B, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
         ty_shape = jax.ShapeDtypeStruct((n_total, LANE), jnp.float32)
     else:
+        y_shape = jax.ShapeDtypeStruct((n_total, DL), jnp.bfloat16)
         ty_spec = pl.BlockSpec((K, B, DL), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
         ty_shape = jax.ShapeDtypeStruct((K, n_total, DL), jnp.bfloat16)
 
-    fwd_in = [x_spec] + ([tx_spec] if K else []) + w_specs + b_specs
+    fwd_in = [x_spec] + ([tx_spec] if has_tx else []) + w_specs + b_specs
     fwd_out = [y_spec] + ([ty_spec] if K else [])
-    fwd_shapes = [jax.ShapeDtypeStruct((n_total, DL), jnp.bfloat16)] + (
-        [ty_shape] if K else []
-    )
+    fwd_shapes = [y_shape] + ([ty_shape] if K else [])
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, spec),
         grid=grid,
@@ -380,18 +521,23 @@ def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
     )
 
     bwd_in = (
-        [x_spec] + ([tx_spec] if K else []) + [y_spec] + ([ty_spec] if K else [])
+        [x_spec] + ([tx_spec] if has_tx else []) + [y_spec] + ([ty_spec] if K else [])
         + w_specs + b_specs
     )
     bwd_out = (
-        [pl.BlockSpec((B, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)]
-        + ([pl.BlockSpec((K, B, P0), lambda i: (0, i, 0), memory_space=pltpu.VMEM)] if K else [])
+        [pl.BlockSpec((B, xw), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+        + ([pl.BlockSpec((K, B, P0), lambda i: (0, i, 0), memory_space=pltpu.VMEM)] if has_tx else [])
         + [_const_spec((din, dout)) for din, dout in zip(spec.in_dims, spec.out_dims)]
         + [_const_spec((1, dout)) for dout in spec.out_dims]
     )
+    # cotangent dtypes match the primals: bf16 for bf16 chain inputs
+    # (halves the HBM traffic of downstream cotangent adds — head-chain
+    # gx tensors measured ~26 ms/step of f32 add fusions), f32 for raw
+    # positions in enc mode
+    gx_dt = jnp.float32 if enc else jnp.bfloat16
     bwd_shapes = (
-        [jax.ShapeDtypeStruct((n_total, P0), jnp.float32)]
-        + ([jax.ShapeDtypeStruct((K, n_total, P0), jnp.float32)] if K else [])
+        [jax.ShapeDtypeStruct((n_total, xw), gx_dt)]
+        + ([jax.ShapeDtypeStruct((K, n_total, P0), jnp.bfloat16)] if has_tx else [])
         + [jax.ShapeDtypeStruct((din, dout), jnp.float32)
            for din, dout in zip(spec.in_dims, spec.out_dims)]
         + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in spec.out_dims]
@@ -416,7 +562,7 @@ def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
         # precision (Trainer sets jax_default_matmul_precision=float32):
         # Mosaic rejects contract_precision<fp32> on bf16 vectors
         with jax.default_matmul_precision("bfloat16"):
-            outs = fwd_call(*([xp] + ([txp] if K else []) + wbs + list(bps)))
+            outs = fwd_call(*([xp] + ([txp] if has_tx else []) + wbs + list(bps)))
         return (outs[0], outs[1] if K else None)
 
     def chain_fwd(xp, txp, wps, bps):
@@ -425,17 +571,20 @@ def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
     def chain_bwd(res, g):
         xp, txp, wps, bps = res
         gy, gty = g
-        gyb = gy.astype(jnp.bfloat16)
-        args = [xp] + ([txp] if K else []) + [gyb]
+        gyb = gy.astype(jnp.float32) if split else gy.astype(jnp.bfloat16)
+        args = [xp] + ([txp] if has_tx else []) + [gyb]
         if K:
-            args.append(gty.astype(jnp.float32) if chan else gty.astype(jnp.bfloat16))
+            if split:
+                args.append(gty.astype(jnp.bfloat16))
+            else:
+                args.append(gty.astype(jnp.float32) if chan else gty.astype(jnp.bfloat16))
         args += [w.astype(jnp.bfloat16) for w in wps] + list(bps)
         with jax.default_matmul_precision("bfloat16"):
             outs = bwd_call(*args)
         q = 0
         gx = outs[q]; q += 1
         gtx = None
-        if K:
+        if has_tx:
             gtx = outs[q]; q += 1
         gws = tuple(outs[q:q + L]); gbs = tuple(outs[q + L:q + 2 * L])
         return gx, gtx, gws, gbs
@@ -543,6 +692,61 @@ def fused_chain(
             return y, ty[:n, :k]
         return y, ty[:, :n, :d_out]
     return y
+
+
+def fused_sdf_chain(
+    positions: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    *,
+    num_frequencies: int,
+    min_freq_exp: float,
+    max_freq_exp: float,
+    skip: Tuple[int, ...] = (),
+    activation: str = "SoftplusQuad",
+    beta: float = 100.0,
+    tangent_out_channel: int = 0,
+    block: int = 256,
+    interpret: Optional[bool] = None,
+):
+    """Fused NeRF-encoding + MLP chain + spatial gradient of one output.
+
+    positions [N, 3] f32 -> (y [N, D_out] bf16, grad [N, 3] f32 =
+    d y[:, channel] / d positions). The frequency encoding (include_input
+    layout, ops/encodings.py::nerf_encoding), its Jacobian (3 basis
+    tangents) and Hessian diagonal all evaluate inside the kernel — raw
+    positions in, sdf+features+gradient out, nothing else touches HBM.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = positions.shape[0]
+    d_in = 3 + 6 * num_frequencies
+    d_out = weights[-1].shape[1]
+    in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
+    n_pad = _rup(n, block)
+    xp = (
+        jnp.zeros((n_pad, LANE), jnp.float32)
+        .at[:n, :3].set(positions.astype(jnp.float32))
+    )
+    wps = tuple(
+        _pad_weight(w, l, din, dout, d_in, hidden, skip)
+        for l, (w, din, dout) in enumerate(zip(weights, in_dims, out_dims))
+    )
+    bps = tuple(
+        jnp.zeros((1, dout), jnp.float32).at[0, : b.shape[0]].set(b.astype(jnp.float32))
+        for b, dout in zip(biases, out_dims)
+    )
+    assert tangent_out_channel == 0, "sdf_split assumes the sdf channel is 0"
+    spec = ChainSpec(
+        in_dims=in_dims, out_dims=out_dims, skip=tuple(sorted(skip)),
+        activation=activation, beta=beta, n_tangents=3, block=block,
+        tangent_out_channel=tangent_out_channel,
+        enc=(num_frequencies, float(min_freq_exp), float(max_freq_exp)),
+        sdf_split=True, geo_width=_rup(d_out - 1),
+    )
+    chain = _build_chain(spec, n_pad, interpret)
+    sg, geo = chain(xp, None, wps, bps)
+    return sg[:n, 0], geo[:n, : d_out - 1], sg[:n, 1:4]
 
 
 # ---------------------------------------------------- reference (testing)
