@@ -344,7 +344,7 @@ def _grid_raw_tpu() -> TrainerConfig:
     recipe (see docs/parity.md perf notes)."""
     import dataclasses as dc
 
-    from multimodalstudio_tpu.configs.config import apply_mixed_precision
+    from multimodalstudio_tpu.configs.config import apply_fused_mlp, apply_mixed_precision
 
     base = _raw(_grid_config(), "grid_raw_tpu")
     sf = base.model.surface.surface_field
@@ -393,7 +393,11 @@ def _grid_raw_tpu() -> TrainerConfig:
         mixed_precision=True,
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )
-    return apply_mixed_precision(cfg)
+    # the grid-less MLPs (radiance trunk, background, heads) run as fused
+    # Pallas chains; the hash-grid surface field keeps the XLA gather path
+    # (can_fuse gates per-MLP, and sdf_gradients falls back when a grid is
+    # present)
+    return apply_fused_mlp(apply_mixed_precision(cfg))
 
 
 def _mlp_raw_tpu() -> TrainerConfig:

@@ -133,27 +133,18 @@ def pdf_sample_bins(
     else:
         u = jnp.broadcast_to(u_base + 1.0 / (2 * num_bins), (cdf.shape[0], num_bins))
 
-    # searchsorted(side='right') as a comparison-sum: [N, K, S+1] -> [N, K]
-    inds = jnp.sum((u[:, :, None] >= cdf[:, None, :]).astype(jnp.int32), axis=-1)
-    s_max = existing_bins.shape[-1] - 1
-    below = jnp.clip(inds - 1, 0, s_max)
-    above = jnp.clip(inds, 0, s_max)
-
-    # per-row take_along_axis lowers to a slow row-wise gather (~24M elem/s
-    # measured); flatten to 1-D global-index takes instead (~5x faster) —
-    # same trick as the hash-grid row gathers (docs/performance.md)
-    n, k = below.shape
-    row0 = jnp.arange(n, dtype=jnp.int32)[:, None]
-    cdf_flat = cdf.reshape(-1)
-    bins_flat = existing_bins.reshape(-1)
-    below_f = (row0 * cdf.shape[-1] + below).reshape(-1)
-    above_f = (row0 * cdf.shape[-1] + above).reshape(-1)
-    belowb_f = (row0 * existing_bins.shape[-1] + below).reshape(-1)
-    aboveb_f = (row0 * existing_bins.shape[-1] + above).reshape(-1)
-    cdf_g0 = jnp.take(cdf_flat, below_f).reshape(n, k)
-    bins_g0 = jnp.take(bins_flat, belowb_f).reshape(n, k)
-    cdf_g1 = jnp.take(cdf_flat, above_f).reshape(n, k)
-    bins_g1 = jnp.take(bins_flat, aboveb_f).reshape(n, k)
+    # searchsorted + the 4 boundary lookups, gather-free: cdf and bins are
+    # both ASCENDING per row, so `x[below]` is a masked max and `x[above]`
+    # a masked min over the same comparison tensor. Gathers here are
+    # latency-bound (16 x ~0.6 ms for 276 KB each, profiled); these masked
+    # reductions fuse into two [N, K, S+1] sweeps.
+    cmp = u[:, :, None] >= cdf[:, None, :]  # [N, K, S+1]; cmp[..., 0] always True
+    big = jnp.float32(1e10)
+    cdf_g0 = jnp.max(jnp.where(cmp, cdf[:, None, :], -big), axis=-1)
+    bins_g0 = jnp.max(jnp.where(cmp, existing_bins[:, None, :], -big), axis=-1)
+    # u < 1 = cdf[..., -1] by construction, so ~cmp is never empty
+    cdf_g1 = jnp.min(jnp.where(cmp, big, cdf[:, None, :]), axis=-1)
+    bins_g1 = jnp.min(jnp.where(cmp, big, existing_bins[:, None, :]), axis=-1)
 
     denom = cdf_g1 - cdf_g0
     t = jnp.clip(jnp.nan_to_num(jnp.where(denom > 0, (u - cdf_g0) / denom, 0.0)), 0.0, 1.0)

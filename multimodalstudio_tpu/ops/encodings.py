@@ -68,6 +68,62 @@ def sh_encoding_out_dim(degree: int) -> int:
     return (degree + 1) ** 2
 
 
+@functools.lru_cache(maxsize=None)
+def _sh_dense_coeffs(levels: int):
+    """Monomial-basis coefficients C_k with SH(d) = 1*C0 + d@C1 + d2@C2 +
+    d3@C3 + d4@C4, where d_k are the (redundant) outer-product monomial
+    tensors of degree k. Fitted by least squares on the unit sphere — exact
+    (residual ~1e-7): every real SH component up to degree 4 is a
+    polynomial of degree <= 4 in (x, y, z)."""
+    import numpy as np
+
+    from multimodalstudio_tpu.ops.math import components_from_spherical_harmonics
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(4096, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    m1 = d
+    m2 = (d[:, :, None] * d[:, None, :]).reshape(-1, 9)
+    m3 = (m2[:, :, None] * d[:, None, :]).reshape(-1, 27)
+    m4 = (m3[:, :, None] * d[:, None, :]).reshape(-1, 81)
+    design = np.concatenate([np.ones((d.shape[0], 1)), m1, m2, m3, m4], axis=1)
+    # may be reached first from inside a jit trace — force eager evaluation
+    # of the closed form (omnistaging would otherwise stage it)
+    with jax.ensure_compile_time_eval():
+        target = np.asarray(
+            jax.device_get(components_from_spherical_harmonics(levels, jnp.asarray(d)))
+        ).astype(np.float64)
+    c, *_ = np.linalg.lstsq(design.astype(np.float64), target, rcond=None)
+    c = c.astype(np.float32)
+    return (c[0:1], c[1:4], c[4:13], c[13:40], c[40:121])
+
+
+def sh_encoding_dense(directions: jnp.ndarray, degree: int) -> jnp.ndarray:
+    """SH via dense monomial outer products + small matmuls.
+
+    Numerically equal to `sh_encoding` for unit directions (fit residual
+    ~1e-7), but TPU-friendly: the closed form builds every component as a
+    separate [N, 1] column, and on TPU each such column tiles to 128 lanes
+    — 25 latency-bound padded ops per step (profiled ~8 ms). Here the
+    monomials are four dense outer-product tensors and the basis change is
+    four lane-friendly matmuls."""
+    c0, c1, c2, c3, c4 = _sh_dense_coeffs(degree + 1)
+    d = directions
+    lead = d.shape[:-1]
+    d = d.reshape(-1, 3)
+    m2 = (d[:, :, None] * d[:, None, :]).reshape(-1, 9)
+    m3 = (m2[:, :, None] * d[:, None, :]).reshape(-1, 27)
+    m4 = (m3[:, :, None] * d[:, None, :]).reshape(-1, 81)
+    out = (
+        jnp.asarray(c0)[0]
+        + d @ jnp.asarray(c1)
+        + m2 @ jnp.asarray(c2)
+        + m3 @ jnp.asarray(c3)
+        + m4 @ jnp.asarray(c4)
+    )
+    return out.reshape(*lead, -1)
+
+
 @dataclasses.dataclass(frozen=True)
 class HashGridSpec:
     """Static geometry of a multiresolution hash grid."""

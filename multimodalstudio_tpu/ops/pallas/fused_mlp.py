@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -44,6 +45,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 _SKIP_SCALE = 1.0 / np.sqrt(2.0)
+# samples per kernel grid step. 384 measured best on v5e (bench sweep:
+# 256 = 54.3K, 384 = 56.1K rays/s, 512 = scoped-VMEM OOM in the backward);
+# sweepable via MMS_FUSED_BLOCK.
+DEFAULT_BLOCK = int(os.environ.get("MMS_FUSED_BLOCK", "384"))
 
 
 def _rup(n: int, m: int = LANE) -> int:
@@ -641,7 +646,7 @@ def fused_chain(
     beta: float = 100.0,
     tangents: Optional[jnp.ndarray] = None,
     tangent_out_channel: Optional[int] = None,
-    block: int = 256,
+    block: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Run the fused dense chain; returns y (and ty when tangents given).
@@ -656,6 +661,8 @@ def fused_chain(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not block:
+        block = DEFAULT_BLOCK
     L = len(weights)
     n, d_in = x.shape
     d_out = weights[-1].shape[1]
@@ -706,7 +713,7 @@ def fused_sdf_chain(
     activation: str = "SoftplusQuad",
     beta: float = 100.0,
     tangent_out_channel: int = 0,
-    block: int = 256,
+    block: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Fused NeRF-encoding + MLP chain + spatial gradient of one output.
@@ -719,6 +726,8 @@ def fused_sdf_chain(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not block:
+        block = DEFAULT_BLOCK
     n = positions.shape[0]
     d_in = 3 + 6 * num_frequencies
     d_out = weights[-1].shape[1]
