@@ -75,7 +75,8 @@ class LoggingSpec:
     local_writer: bool = True
     enable_profiler: bool = False
     profiler_steps: Tuple[int, ...] = (12, 17)
-    vis: str = "tensorboard"  # tensorboard | none
+    vis: str = "tensorboard"  # tensorboard | wandb | none
+    # (reference configs.py:105-112 exposes the same writer choice)
 
 
 @dataclasses.dataclass(frozen=True)

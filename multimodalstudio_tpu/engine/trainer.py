@@ -149,6 +149,7 @@ class Trainer:
         self.writer = Writer(
             log_dir=self.output_dir,
             use_tensorboard=config.logging.vis == "tensorboard" and self.output_dir,
+            use_wandb=config.logging.vis == "wandb" and self.output_dir is not None,
             use_local=config.logging.local_writer,
             max_buffer_size=config.logging.max_buffer_size,
         )

@@ -142,9 +142,14 @@ def pdf_sample_bins(
     big = jnp.float32(1e10)
     cdf_g0 = jnp.max(jnp.where(cmp, cdf[:, None, :], -big), axis=-1)
     bins_g0 = jnp.max(jnp.where(cmp, existing_bins[:, None, :], -big), axis=-1)
-    # u < 1 = cdf[..., -1] by construction, so ~cmp is never empty
+    # u < cdf[..., -1] *almost* always: cdf[-1] = min(1, cumsum) can round
+    # below 1 in f32 while stratified u approaches 1, leaving ~cmp empty and
+    # the mins at the +big sentinel. Clamp to the row's last entry, restoring
+    # the old take_along_axis clamp semantics (denom <= 0 -> t = 0).
     cdf_g1 = jnp.min(jnp.where(cmp, big, cdf[:, None, :]), axis=-1)
     bins_g1 = jnp.min(jnp.where(cmp, big, existing_bins[:, None, :]), axis=-1)
+    cdf_g1 = jnp.minimum(cdf_g1, cdf[:, -1:])
+    bins_g1 = jnp.minimum(bins_g1, existing_bins[:, -1:])
 
     denom = cdf_g1 - cdf_g0
     t = jnp.clip(jnp.nan_to_num(jnp.where(denom > 0, (u - cdf_g0) / denom, 0.0)), 0.0, 1.0)

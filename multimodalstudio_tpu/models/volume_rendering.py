@@ -72,6 +72,7 @@ def laplace_density(sdf: jnp.ndarray, beta: jnp.ndarray, beta_min: float = 1e-4)
 
 
 def neus_s_density(sdf: jnp.ndarray, inv_s: jnp.ndarray) -> jnp.ndarray:
-    """NeuS logistic s-density (volume_rendering.py:101-112)."""
+    """NeuS logistic density phi_s(x) = s e^{-sx} / (1 + e^{-sx})^2
+    (reference volume_rendering.py:101-112)."""
     e = jnp.exp(-sdf * inv_s)
-    return (inv_s * e) / (1.0 + e**2)
+    return (inv_s * e) / (1.0 + e) ** 2

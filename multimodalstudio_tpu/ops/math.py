@@ -111,18 +111,37 @@ def ssim(
     TPU-native replacement for the torchmetrics SSIM used by the reference's
     offline metrics (scripts/evaluate_average_metrics.py:154-191).
     """
+    return jnp.mean(
+        ssim_map(pred, target, max_val, filter_size, filter_sigma, k1, k2)
+    )
+
+
+def ssim_map(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    max_val: float = 1.0,
+    filter_size: int = 11,
+    filter_sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Per-pixel SSIM map [H, W, C] (same math as `ssim` without the mean).
+
+    The reference's masked-SSIM protocol computes SSIM on the FULL images
+    and averages the map over the ROI mask afterwards
+    (evaluate_average_metrics.py:154-168) — masking-then-SSIM inflates
+    scores near mask borders; use this map for the parity protocol."""
     radius = filter_size // 2
     kernel = _gaussian_kernel1d(filter_sigma, radius)
 
     def blur(img):
-        # separable [H, W, C] convolution via two tensordots over padded axes
         img = jnp.pad(img, ((radius, radius), (radius, radius), (0, 0)), mode="edge")
-        img = jnp.moveaxis(img, 0, -1)  # [W+2r, C, H+2r]
+        img = jnp.moveaxis(img, 0, -1)
         img = _conv_last(img, kernel)
-        img = jnp.moveaxis(img, -1, 0)  # [H, W+2r, C]
-        img = jnp.moveaxis(img, 1, -1)  # [H, C, W+2r]
+        img = jnp.moveaxis(img, -1, 0)
+        img = jnp.moveaxis(img, 1, -1)
         img = _conv_last(img, kernel)
-        return jnp.moveaxis(img, -1, 1)  # [H, W, C]
+        return jnp.moveaxis(img, -1, 1)
 
     mu_p = blur(pred)
     mu_t = blur(target)
@@ -134,7 +153,18 @@ def ssim(
     c2 = (k2 * max_val) ** 2
     num = (2 * mu_p * mu_t + c1) * (2 * mu_pt + c2)
     den = (mu_p**2 + mu_t**2 + c1) * (mu_pp + mu_tt + c2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def masked_ssim(pred: jnp.ndarray, target: jnp.ndarray, mask=None) -> jnp.ndarray:
+    """Reference masked-SSIM protocol (evaluate_average_metrics.py:154-168):
+    SSIM map over the full [H, W, C] images, averaged over the [H, W, 1]
+    mask (all pixels when mask is None)."""
+    smap = ssim_map(pred, target)
+    if mask is None:
+        return jnp.mean(smap)
+    m = jnp.broadcast_to(mask, smap.shape)
+    return jnp.sum(smap * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 def _conv_last(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:

@@ -35,16 +35,31 @@ def cluster_points(points: np.ndarray, radius: float) -> List[np.ndarray]:
     return [np.nonzero(labels == i)[0] for i in range(n)]
 
 
+def _oriented_rotation(points: np.ndarray) -> np.ndarray:
+    """Rotation aligning a point cluster's principal axes with the world
+    axes (stand-in for trimesh.bounds.oriented_bounds in reference
+    utils.py:126: PCA instead of minimum-volume OBB — identical for the
+    planar checkerboard clusters this is applied to)."""
+    centered = points - points.mean(0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    r = vt  # rows = principal axes, descending variance
+    if np.linalg.det(r) < 0:
+        r[2] *= -1.0
+    return r
+
+
 def generate_bounding_box(
     points: np.ndarray,
     radius: float = 0.5,
     scale: float = 1.0,
     pointcloud_filtering: bool = False,
+    reorient_axis: bool = False,
     output_path: Optional[str] = None,
 ) -> Tuple[np.ndarray, List[List[float]]]:
     """ROI from the sparse cloud: pick the densest compact cluster, normalize
-    it into the unit sphere, re-center (reference utils.py:45-147, without
-    the MMS-DATA checkerboard reorientation). Returns (gt2w 4x4, aabb)."""
+    it into the unit sphere, optionally reorient using the MMS-DATA
+    checkerboard planes, re-center (reference utils.py:45-147).
+    Returns (gt2w 4x4, aabb)."""
     pointcloud = np.asarray(points) * scale
 
     clusters = [c for c in cluster_points(pointcloud, radius) if c.shape[0] > 100]
@@ -66,12 +81,33 @@ def generate_bounding_box(
     )
     pointcloud = (pointcloud - center) / rad
 
+    transform2 = np.eye(4)
+    if reorient_axis:
+        # MMS-DATA checkerboard reorientation (reference utils.py:117-136):
+        # the two biggest clusters OUTSIDE the unit half-cube are the
+        # checkerboards on the ground plane; rotate so they become
+        # axis-aligned, then permute axes (x <- z, z <- -x).
+        mask = np.any(np.abs(pointcloud) > 0.5, axis=-1)
+        if mask.sum() > 10:
+            sub = pointcloud[mask]
+            clusters = cluster_points(sub, radius * rad * 0.20)
+            order = np.argsort([c.shape[0] for c in clusters])[::-1][:2]
+            selected = np.concatenate([clusters[i] for i in order])
+            rot = np.eye(4)
+            rot[:3, :3] = _oriented_rotation(sub[selected])
+            permutation = np.array(
+                [[0, 0, -1, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+                dtype=np.float64,
+            )
+            transform2 = permutation @ rot
+            pointcloud = pointcloud @ transform2[:3, :3].T
+
     ab_min, ab_max = pointcloud.min(0), pointcloud.max(0)
     transform3 = np.eye(4)
     transform3[:3, 3] = -(ab_max + ab_min) / 2
     pointcloud = pointcloud + transform3[:3, 3]
 
-    gt2w = transform3 @ transform1
+    gt2w = transform3 @ transform2 @ transform1
     if output_path is not None:
         write_ply_points(os.path.join(output_path, "pointcloud.ply"), pointcloud)
     return gt2w, [ab_min.tolist(), ab_max.tolist()]

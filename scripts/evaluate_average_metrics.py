@@ -15,11 +15,12 @@ regimes, each with its own psnr/ssim/lpips:
     - mosaicked:             mosaick both through the pattern
     - demosaicked:           demosaick(mosaicked) for both
 
-Demosaicking uses the generic per-channel bilinear grid interpolation
-(preprocessing/demosaick.py) for every modality — channel ordering follows
-the scene's mosaick pattern, matching the model's channel indexing. (The
-reference uses edge-aware OpenCV/polanalyser demosaicking; regime structure
-and masking protocol are identical.)
+Demosaicking follows the reference's per-modality protocol
+(evaluate_average_metrics.py:61-66): edge-aware OpenCV Bayer for rgb,
+edge-aware PFA interpolation for polarization (the polanalyser
+COLOR_PolarMono_EA construction), RegularGridInterpolator-style grid
+interpolation for multispectral. Channel ordering follows the scene's
+mosaick pattern, matching the model's channel indexing.
 
 LPIPS requires the `lpips` package (not bundled); it is skipped with a
 notice when unavailable (reference uses torch lpips).
@@ -47,11 +48,13 @@ def masked_psnr(pred, gt, mask):
 
 
 def masked_ssim(pred, gt, mask):
+    # reference protocol: SSIM map over the FULL images, averaged over the
+    # mask (evaluate_average_metrics.py:154-168) — not masked-then-SSIM
     import jax.numpy as jnp
 
-    from multimodalstudio_tpu.ops.math import ssim
+    from multimodalstudio_tpu.ops.math import masked_ssim as _masked_ssim
 
-    return float(ssim(jnp.asarray(pred * mask), jnp.asarray(gt * mask)))
+    return float(_masked_ssim(jnp.asarray(pred), jnp.asarray(gt), jnp.asarray(mask)))
 
 
 def try_lpips(pred, gt, mask):
@@ -102,7 +105,7 @@ def main():
     import cv2
 
     from multimodalstudio_tpu.data.dataset import build_mosaick_mask, normalize_frame
-    from multimodalstudio_tpu.preprocessing.demosaick import demosaick_grid
+    from multimodalstudio_tpu.preprocessing.demosaick import demosaick_for_modality
 
     with open(os.path.join(args.scene, "meta_data.json")) as f:
         meta = json.load(f)
@@ -152,8 +155,8 @@ def main():
                     # demosaicking needs the unbroken mosaick periodicity —
                     # full-resolution renders only (the reference's paper
                     # protocol also scores full-res exports)
-                    gt_dem = demosaick_grid(gt, pattern)
-                    pred_dem = demosaick_grid(pred_mos, pattern)
+                    gt_dem = demosaick_for_modality(gt, pattern, mod)
+                    pred_dem = demosaick_for_modality(pred_mos, pattern, mod)
                     regime_metrics(pred_dem, gt_dem, mask, rows, "demosaicked")
                     regime_metrics(pred, gt_dem, mask, rows, "rendered_demosaicked")
                 else:
@@ -173,8 +176,8 @@ def main():
                     regime_metrics(pred_mos, gt_mos, mask, rows, "mosaicked")
                     if args.rendering_scale == 1.0:
                         regime_metrics(
-                            demosaick_grid(pred_mos, pattern),
-                            demosaick_grid(gt_mos, pattern),
+                            demosaick_for_modality(pred_mos, pattern, mod),
+                            demosaick_for_modality(gt_mos, pattern, mod),
                             mask, rows, "demosaicked",
                         )
                 else:

@@ -56,7 +56,18 @@ def main():
     parser.add_argument("--calibration", default=None, help="JSON with per-modality "
                         "camera_matrix/dist_coeffs/camera2reference")
     parser.add_argument("--aruco_size", type=float, default=0.036)
+    parser.add_argument(
+        "--reorient_axis", action="store_true",
+        help="reorient via the MMS-DATA checkerboard planes (utils.py:117-136)",
+    )
+    parser.add_argument(
+        "--mosaick_patterns_json", default=None,
+        help="JSON {modality: pattern} overriding the built-in patterns",
+    )
     args = parser.parse_args()
+    patterns = dict(MOSAICK_PATTERNS)
+    if args.mosaick_patterns_json:
+        patterns.update(json.load(open(args.mosaick_patterns_json)))
 
     import cv2
 
@@ -87,12 +98,44 @@ def main():
     # 2. COLMAP SfM
     txt = C.run_sfm_pipeline(work, sfm_dir)
 
-    # 3. metric scale from ArUco markers (best effort)
+    # 3. metric scale from ArUco markers of known size (best effort,
+    # reference colmap.py:162-240): detect markers in the reference
+    # modality's SfM frames, triangulate their corners in two views with
+    # the COLMAP poses, and scale the scene so the marker side measures
+    # --aruco_size meters.
     scale = 1.0
+    images_meta = C.parse_images_txt(os.path.join(txt, "images.txt"))
+    ref_frames, ref_c2ws = [], []
+    ref_dir = os.path.join(sfm_dir, reference_mod) if calibration is None else sfm_dir
+    ref_cam_id = None
+    for name in sorted(os.listdir(ref_dir)):
+        rel = name if calibration is not None else f"{reference_mod}/{name}"
+        meta_entry = images_meta.get(rel) or images_meta.get(name)
+        if meta_entry is None:
+            continue
+        ref_frames.append(cv2.imread(os.path.join(ref_dir, name), cv2.IMREAD_GRAYSCALE))
+        ref_c2ws.append(C.w2c_to_c2w(meta_entry["qvec"], meta_entry["tvec"]))
+        ref_cam_id = meta_entry["camera_id"]
+    if ref_frames and ref_cam_id is not None:
+        cameras_all = C.parse_cameras_txt(os.path.join(txt, "cameras.txt"))
+        if ref_cam_id in cameras_all:
+            p = cameras_all[ref_cam_id]["params"]
+            k = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1]])
+            found = C.compute_aruco_scale(
+                ref_frames, ref_c2ws, k, marker_size_m=args.aruco_size
+            )
+            if found is not None:
+                scale = found
+                print(f"ArUco metric scale: {scale:.6f}")
+            else:
+                print("no ArUco markers triangulated; keeping scale 1.0")
 
     # 4. bounding box + gt2w normalization
     points = C.parse_points3d_txt(os.path.join(txt, "points3D.txt"))
-    gt2w, bbox = M.generate_bounding_box(points, scale=scale, output_path=args.output)
+    gt2w, bbox = M.generate_bounding_box(
+        points, scale=scale, reorient_axis=args.reorient_axis,
+        output_path=args.output,
+    )
 
     # 5. camera matrices
     cameras = C.parse_cameras_txt(os.path.join(txt, "cameras.txt"))
@@ -147,7 +190,7 @@ def main():
         scale=scale,
         undistorted=args.undistort,
         mosaicked=args.mosaicked,
-        mosaick_patterns=MOSAICK_PATTERNS if args.mosaicked else None,
+        mosaick_patterns=patterns if args.mosaicked else None,
     )
     M.check_cameras(os.path.join(args.output, "meta_data.json"), args.output)
     print(f"scene written to {args.output}")

@@ -114,6 +114,85 @@ def test_k0_grads_match():
         assert _rel(g1[2][l], g2[2][l]) < 0.05
 
 
+def test_fused_sdf_chain_grads_match_reference():
+    """jax.grad THROUGH fused_sdf_chain (the enc+sdf_split custom-vjp path
+    the mlp_raw_tpu training step uses) vs XLA autodiff of
+    nerf_encoding + jvp + chain_reference (ADVICE r2 item 3)."""
+    from multimodalstudio_tpu.ops.encodings import nerf_encoding
+    from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_sdf_chain
+
+    F, mn, mx = 6, 0.0, 5.0
+    d_in = 3 + 6 * F
+    ws, bs = _make_chain(jax.random.key(10), L=4, H=128, d_in=d_in, d_out=129)
+    pos = jax.random.uniform(jax.random.key(11), (96, 3), minval=-0.9, maxval=0.9)
+    kw = dict(skip=(2,), activation="SoftplusQuad", beta=100.0)
+
+    def loss_fused(pos, ws, bs):
+        sdf, geo, grad = fused_sdf_chain(
+            pos, list(ws), list(bs), num_frequencies=F, min_freq_exp=mn,
+            max_freq_exp=mx, **kw,
+        )
+        return (
+            jnp.sum(jnp.sin(sdf))
+            + jnp.sum(jnp.cos(geo.astype(jnp.float32)))
+            + jnp.sum(jnp.sin(2.0 * grad))
+        )
+
+    def loss_ref(pos, ws, bs):
+        enc_fn = lambda p: nerf_encoding(p, F, mn, mx, include_input=True)
+        enc = enc_fn(pos)
+        eye = jnp.eye(3)
+        tenc = jnp.stack(
+            [jax.jvp(enc_fn, (pos,), (jnp.broadcast_to(eye[k], pos.shape),))[1]
+             for k in range(3)]
+        )
+        y, ty = chain_reference(enc, list(ws), list(bs), tangents=tenc, **kw)
+        sdf = y[:, 0].astype(jnp.float32)
+        geo = y[:, 1:]
+        grad = ty[:, :, 0].T.astype(jnp.float32)
+        return (
+            jnp.sum(jnp.sin(sdf))
+            + jnp.sum(jnp.cos(geo.astype(jnp.float32)))
+            + jnp.sum(jnp.sin(2.0 * grad))
+        )
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(pos, tuple(ws), tuple(bs))
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(pos, tuple(ws), tuple(bs))
+    assert _rel(g1[0], g2[0]) < 0.08  # d/d positions (through enc'' terms)
+    for l in range(len(ws)):
+        assert _rel(g1[1][l], g2[1][l]) < 0.08, f"gW{l}"
+        assert _rel(g1[2][l], g2[2][l]) < 0.08, f"gb{l}"
+
+
+def test_tangent_out_channel_grads_match_reference():
+    """jax.grad through fused_chain(tangent_out_channel=0) — the sparse
+    last-layer tangent cotangent scatter path (ADVICE r2 item 3)."""
+    ws, bs = _make_chain(jax.random.key(12), L=3, H=128, d_in=39, d_out=129, skip=())
+    n = 120
+    x = jax.random.normal(jax.random.key(13), (n, 39))
+    tx = jax.random.normal(jax.random.key(14), (3, n, 39))
+    kw = dict(skip=(), activation="SoftplusQuad", beta=100.0)
+
+    def loss_fused(x, tx, ws, bs):
+        y, g = fused_chain(
+            x, list(ws), list(bs), tangents=tx, tangent_out_channel=0, **kw
+        )
+        return jnp.sum(jnp.sin(y.astype(jnp.float32))) + jnp.sum(jnp.cos(g))
+
+    def loss_ref(x, tx, ws, bs):
+        y, ty = chain_reference(x, list(ws), list(bs), tangents=tx, **kw)
+        g = ty[:, :, 0].T.astype(jnp.float32)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32))) + jnp.sum(jnp.cos(g))
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, tx, tuple(ws), tuple(bs))
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, tx, tuple(ws), tuple(bs))
+    assert _rel(g1[0], g2[0]) < 0.08
+    assert _rel(g1[1], g2[1]) < 0.08
+    for l in range(len(ws)):
+        assert _rel(g1[2][l], g2[2][l]) < 0.08, f"gW{l}"
+        assert _rel(g1[3][l], g2[3][l]) < 0.08, f"gb{l}"
+
+
 def test_sdf_gradients_fused_matches_jacfwd():
     """MMSModel.sdf_gradients: fused path vs vmap(jacfwd) path end to end."""
     from multimodalstudio_tpu.configs.methods import method_configs

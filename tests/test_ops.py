@@ -265,3 +265,39 @@ class TestImageMetrics:
         img = jax.random.uniform(jax.random.key(0), (32, 32, 3))
         noisy = jnp.clip(img + 0.2 * jax.random.normal(jax.random.key(1), img.shape), 0, 1)
         assert float(ssim(img, noisy)) < 0.9
+
+    def test_masked_ssim_full_image_protocol(self):
+        # reference protocol (evaluate_average_metrics.py:154-168): SSIM over
+        # the FULL images, map averaged over the mask. If the images agree
+        # inside the mask but differ outside, masked_ssim must be < 1 only
+        # through window bleed near the border — while zero-then-SSIM would
+        # score the pair differently. Check mask=None == plain mean, and that
+        # in-mask-identical images score near 1 even with garbage outside.
+        from multimodalstudio_tpu.ops.math import masked_ssim, ssim_map
+
+        img = jax.random.uniform(jax.random.key(2), (40, 40, 1))
+        other = img.at[:10].set(0.0)  # differs only in the top strip
+        mask = jnp.zeros((40, 40, 1)).at[20:].set(1.0)  # bottom half
+        val = float(masked_ssim(img, other, mask))
+        np.testing.assert_allclose(val, 1.0, atol=1e-5)
+        np.testing.assert_allclose(
+            float(masked_ssim(img, other, None)),
+            float(jnp.mean(ssim_map(img, other))),
+            atol=1e-6,
+        )
+
+
+def test_neus_s_density_formula():
+    # phi_s(x) = s e^{-sx} / (1 + e^{-sx})^2: the derivative of the
+    # logistic sigmoid(s x) — checked against numerical differentiation
+    # (reference volume_rendering.py:101-112)
+    from multimodalstudio_tpu.models.volume_rendering import neus_s_density
+
+    s = 12.0
+    x = jnp.linspace(-0.5, 0.5, 101)
+    sig = lambda v: 1.0 / (1.0 + jnp.exp(-s * v))
+    eps = 1e-4
+    numeric = (sig(x + eps) - sig(x - eps)) / (2 * eps)
+    np.testing.assert_allclose(
+        np.asarray(neus_s_density(x, s)), np.asarray(numeric), rtol=2e-2
+    )

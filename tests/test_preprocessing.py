@@ -37,6 +37,73 @@ class TestDemosaick:
         raw = (np.random.rand(16, 16) * 65535).astype(np.uint16)
         assert demosaick_bayer(raw).shape == (16, 16, 3)
 
+    def test_bayer_edge_aware_constant_exact(self):
+        # EA demosaicking of a constant-per-channel Bayer mosaic recovers
+        # the channels exactly away from the border
+        frame = np.zeros((16, 16, 3), np.float32)
+        for c, v in enumerate((0.2, 0.5, 0.8)):
+            frame[..., c] = v
+        pattern = np.array([[0, 1], [1, 2]])  # RGGB channel indices
+        raw = mosaick(frame, pattern)
+        rec = demosaick_bayer(raw, "RGGB")
+        np.testing.assert_allclose(rec[4:-4, 4:-4], frame[4:-4, 4:-4], atol=2e-4)
+
+    def test_multispectral_band_sorting(self):
+        # synthetic 3x3 mosaic where position p holds the constant value p:
+        # after demosaick + SILIOS re-sort, channel c must hold the value of
+        # mosaic position _SILIOS_BAND_ORDER[c] (reference utils.py:248-253)
+        from multimodalstudio_tpu.preprocessing.demosaick import _SILIOS_BAND_ORDER
+
+        pattern = np.arange(9).reshape(3, 3)
+        frame = np.zeros((18, 18, 9), np.float32)
+        for p in range(9):
+            frame[..., p] = p / 10.0
+        raw = mosaick(frame, pattern)
+        out = demosaick_multispectral(raw)
+        for c in range(9):
+            np.testing.assert_allclose(
+                out[..., c], _SILIOS_BAND_ORDER[c] / 10.0, atol=1e-5
+            )
+
+    def test_polarization_edge_aware_constant(self):
+        from multimodalstudio_tpu.preprocessing.demosaick import (
+            demosaick_polarization,
+        )
+
+        frame = np.zeros((16, 16, 4), np.float32)
+        for c, v in enumerate((0.1, 0.35, 0.6, 0.85)):
+            frame[..., c] = v
+        pattern = np.array([[0, 1], [3, 2]])
+        rec = demosaick_polarization(mosaick(frame, pattern), pattern)
+        np.testing.assert_allclose(rec[4:-4, 4:-4], frame[4:-4, 4:-4], atol=2e-4)
+
+    def test_grid_interp_linear_ramp_with_extrapolation(self):
+        # a linear ramp is reproduced exactly by bilinear interpolation WITH
+        # linear border extrapolation (RegularGridInterpolator semantics,
+        # reference utils.py:231-240) — cv2.resize border clamping would fail
+        h, w = 12, 12
+        ramp = np.linspace(0.0, 1.0, h)[:, None] * np.ones((1, w), np.float32)
+        frame = np.repeat(ramp[..., None], 4, axis=-1).astype(np.float32)
+        pattern = np.array([[0, 1], [3, 2]])
+        rec = demosaick_grid(mosaick(frame, pattern), pattern)
+        np.testing.assert_allclose(rec, frame, atol=1e-5)
+
+    def test_demosaick_for_modality_dispatch(self):
+        from multimodalstudio_tpu.preprocessing.demosaick import (
+            demosaick_for_modality,
+        )
+
+        raw = np.random.rand(12, 12, 1).astype(np.float32)
+        assert demosaick_for_modality(
+            raw, np.array([[1, 2], [0, 1]]), "rgb"
+        ).shape == (12, 12, 3)
+        assert demosaick_for_modality(
+            raw, np.array([[2, 1], [3, 0]]), "polarization"
+        ).shape == (12, 12, 4)
+        assert demosaick_for_modality(
+            raw, np.arange(9).reshape(3, 3), "multispectral"
+        ).shape == (12, 12, 9)
+
 
 class TestBoundingBox:
     def test_cluster_and_normalize(self):
@@ -57,6 +124,54 @@ class TestBoundingBox:
         clusters = cluster_points(np.concatenate([a, b]), radius=0.5)
         sizes = sorted(len(c) for c in clusters)
         assert sizes == [200, 200]
+
+    def test_checkerboard_reorientation(self):
+        # MMS-DATA-style scene: a central ROI ball plus two tilted planar
+        # "checkerboards" outside the unit half-cube; reorient_axis must
+        # produce an orthonormal gt2w that keeps the ROI in the unit sphere
+        # and aligns the checkerboard plane with a coordinate plane
+        # (reference utils.py:117-136)
+        rng = np.random.default_rng(2)
+        roi = rng.normal(size=(600, 3)) * 0.2
+        theta = 0.4
+        rot = np.array(
+            [
+                [np.cos(theta), -np.sin(theta), 0.0],
+                [np.sin(theta), np.cos(theta), 0.0],
+                [0.0, 0.0, 1.0],
+            ]
+        )
+        board = np.stack(
+            [
+                rng.uniform(-0.3, 0.3, 400),
+                rng.uniform(-0.3, 0.3, 400),
+                np.full(400, -0.75),
+            ],
+            axis=-1,
+        ) @ rot.T
+        points = np.concatenate([roi, board, board + [0.05, 0.05, 0.0]])
+        gt2w, _ = generate_bounding_box(
+            points, radius=0.5, reorient_axis=True
+        )
+        r = gt2w[:3, :3]
+        # rotation part orthonormal up to the isotropic 1/rad scaling
+        s = np.linalg.norm(r[0])
+        np.testing.assert_allclose(r @ r.T, np.eye(3) * s * s, atol=1e-6 * s * s)
+        h = np.concatenate([roi, np.ones((600, 1))], -1)
+        mapped = (gt2w @ h.T).T[:, :3]
+        assert np.linalg.norm(mapped, axis=-1).max() <= 1.3
+
+
+def test_normalize_loaded_frame_dark_uint():
+    from multimodalstudio_tpu.data.dataset import normalize_loaded_frame
+
+    dark8 = np.ones((4, 4), np.uint8)  # max pixel == 1
+    out = normalize_loaded_frame(dark8)
+    np.testing.assert_allclose(out, 1.0 / 255.0)
+    dark16 = np.ones((4, 4), np.uint16)
+    np.testing.assert_allclose(normalize_loaded_frame(dark16), 1.0 / 65535.0)
+    fl = np.full((4, 4), 0.5, np.float32)
+    np.testing.assert_allclose(normalize_loaded_frame(fl), 0.5)
 
 
 class TestColmapParsing:
