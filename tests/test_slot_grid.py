@@ -1,0 +1,145 @@
+"""Slot-hash grid kernel (ops/pallas/slot_grid) vs a pure-XLA gather mirror.
+
+Interpret mode on CPU (tests/conftest.py). Golden checks: forward features,
+spatial tangents, and full gradients (table + positions, including the
+second-order terms flowing through the tangent outputs) against XLA
+autodiff of the gather-based mirror.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodalstudio_tpu.ops.pallas.slot_grid import (
+    FEAT,
+    LANE,
+    NSLOT,
+    SlotGridSpec,
+    make_table_init,
+    slot_geometry,
+    slot_grid_lookup,
+)
+
+SPEC = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64)
+
+
+def reference_lookup(table, x, spec, num_levels=None):
+    """Gather-based mirror of the slot-grid semantics (differentiable)."""
+    k = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
+    idx, w, _ = slot_geometry(x, spec, k)
+    rows = table[idx]  # [N, K*8, 128]
+    lane_slot = jnp.arange(LANE) % NSLOT
+    outs = []
+    for l in range(k):
+        feats = []
+        for f in range(FEAT):
+            acc = 0.0
+            for p in range(NSLOT):
+                col = l * NSLOT + p
+                acc = acc + w[:, col] * rows[:, col, f * NSLOT + p]
+            feats.append(acc)
+        outs.append(jnp.stack(feats, axis=-1))
+    enc = jnp.concatenate(outs, axis=-1)
+    if k < spec.num_levels:
+        enc = jnp.pad(enc, ((0, 0), (0, (spec.num_levels - k) * FEAT)))
+    return enc
+
+
+def _setup(n=37, key=0):
+    table = make_table_init(SPEC)(jax.random.key(key))
+    # amplify so signals are O(1)
+    table = table * 1e4
+    x = jax.random.uniform(jax.random.key(key + 1), (n, 3), minval=0.01, maxval=0.97)
+    return table, x
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+class TestSlotGrid:
+    def test_forward_matches_reference(self):
+        table, x = _setup()
+        enc = slot_grid_lookup(table, x, SPEC)
+        ref = reference_lookup(table, x, SPEC)
+        np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=1e-5)
+
+    def test_forward_truncated_levels(self):
+        table, x = _setup(key=3)
+        enc = slot_grid_lookup(table, x, SPEC, num_levels=2)
+        ref = reference_lookup(table, x, SPEC, num_levels=2)
+        np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=1e-5)
+        assert np.abs(np.asarray(enc)[:, 2 * FEAT:]).max() == 0.0
+
+    def test_tangents_match_jacfwd_of_reference(self):
+        table, x = _setup(key=5)
+        enc, tenc = slot_grid_lookup(table, x, SPEC, with_tangents=True)
+        ref = reference_lookup(table, x, SPEC)
+        np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=1e-5)
+        for k in range(3):
+            e = jnp.zeros_like(x).at[:, k].set(1.0)
+            _, t_ref = jax.jvp(lambda q: reference_lookup(table, q, SPEC), (x,), (e,))
+            assert _rel(tenc[k], t_ref) < 1e-4, f"tangent {k}"
+
+    def test_grads_match_reference_autodiff(self):
+        """Reverse mode through (enc, tenc): d table and d x, including the
+        second-order smoothstep terms that the tangent outputs induce."""
+        table, x = _setup(n=29, key=7)
+
+        def loss_kernel(table, x):
+            enc, tenc = slot_grid_lookup(table, x, SPEC, with_tangents=True)
+            return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(tenc))
+
+        def loss_ref(table, x):
+            enc = reference_lookup(table, x, SPEC)
+            tangs = []
+            for k in range(3):
+                e = jnp.zeros_like(x).at[:, k].set(1.0)
+                tangs.append(
+                    jax.jvp(lambda q: reference_lookup(table, q, SPEC), (x,), (e,))[1]
+                )
+            tenc = jnp.stack(tangs)
+            return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(tenc))
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1))(table, x)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(table, x)
+        assert _rel(g1[0], g2[0]) < 1e-4, "d table"
+        assert _rel(g1[1], g2[1]) < 1e-4, "d x"
+
+    def test_grads_no_tangent_path(self):
+        table, x = _setup(n=21, key=9)
+
+        def loss_kernel(table, x):
+            return jnp.sum(jnp.sin(slot_grid_lookup(table, x, SPEC)))
+
+        def loss_ref(table, x):
+            return jnp.sum(jnp.sin(reference_lookup(table, x, SPEC)))
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1))(table, x)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(table, x)
+        assert _rel(g1[0], g2[0]) < 1e-4
+        assert _rel(g1[1], g2[1]) < 1e-4
+
+    def test_vertex_sharing_continuity(self):
+        """The same logical vertex reached from neighbouring cells maps to
+        the same (row, slot): enc is continuous across cell borders."""
+        table, _ = _setup()
+        res = SPEC.resolutions[-1]
+        # straddle a cell border at the finest level
+        eps = 1e-4
+        xa = jnp.array([[0.5 - eps, 0.3, 0.7]])
+        xb = jnp.array([[0.5 + eps, 0.3, 0.7]])
+        ea = slot_grid_lookup(table, xa, SPEC)
+        eb = slot_grid_lookup(table, xb, SPEC)
+        assert float(jnp.abs(ea - eb).max()) < 1e-2
+
+    def test_dense_vs_hashed_levels(self):
+        rows = SPEC.level_rows
+        gdims = SPEC.resolutions // 2 + 1
+        for l in range(SPEC.num_levels):
+            if gdims[l] ** 3 <= SPEC.rows_per_level:
+                assert rows[l] == gdims[l] ** 3
+            else:
+                assert rows[l] == SPEC.rows_per_level
