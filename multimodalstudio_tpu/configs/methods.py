@@ -40,6 +40,7 @@ from multimodalstudio_tpu.models.model import (
 )
 from multimodalstudio_tpu.models.samplers import NeuSSamplerSpec, SpacedSamplerSpec
 from multimodalstudio_tpu.ops.encodings import HashGridSpec
+from multimodalstudio_tpu.ops.pallas.slot_grid import SlotGridSpec
 
 FIVE_MODALITIES = ("rgb", "infrared", "mono", "polarization", "multispectral")
 
@@ -348,30 +349,38 @@ def _grid_raw_tpu() -> TrainerConfig:
 
     base = _raw(_grid_config(), "grid_raw_tpu")
     sf = base.model.surface.surface_field
-    # the step is gather-issue-bound (docs/performance.md §3), so the TPU
-    # grid geometry spends its gathers better: 8 levels x 4 features per row
-    # instead of 16 x 2 (same total features and table parameters; each
-    # corner gather returns twice the features — measured 2.3x on the
-    # encode, scripts/encode_ab.py)
+    # VMEM-resident slot-hash grid (ops/pallas/slot_grid.py): the XLA hash
+    # grid is HBM-gather-issue-bound at ~1-2K rays/s (docs/performance.md
+    # §3); the slot grid's table lives in VMEM where dynamic sublane loads
+    # sustain ~1.2G tiles/s. 6 levels x 16 feats/vertex, 2048 rows/level
+    # (5.6 MB f32 — sized so table + gradient accumulator fit VMEM in the
+    # backward kernel).
     grid_ad = dc.replace(
         sf.field.grid,
-        encoding=dc.replace(
-            sf.field.grid.encoding,
-            vjp_mode="autodiff",
-            num_levels=8,
-            features_per_level=4,
+        encoding=SlotGridSpec(
+            num_levels=6, min_res=16, max_res=512, rows_per_level=2048
         ),
     )
     surface = dc.replace(
         base.model.surface,
         use_numerical_gradients=False,
         # curvature regularization ON, like the reference flagship
-        # (losses.py:121-150, surface_model.py:137-189): analytic
-        # forward-over-forward hessians (nested jacfwd) — well-defined
-        # because the grid uses Smoothstep interpolation weights
+        # (losses.py:121-150): analytic first-order gradients from the slot
+        # kernel's tangent outputs; hessians via the reference's 4-tap
+        # numerical estimate (surface_model.py:137-153)
         compute_hessian=True,
         sampler_levels=4,
-        surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid_ad)),
+        surface_field=dc.replace(
+            sf,
+            field=dc.replace(
+                sf.field,
+                grid=grid_ad,
+                # SoftplusQuad: the C^1 piecewise-quadratic softplus stand-in
+                # (validated +1.7 dB over f32 softplus on the harness, round
+                # 2) — required by the fused Pallas chain
+                mlp=dc.replace(sf.field.mlp, activation="SoftplusQuad"),
+            ),
+        ),
     )
     # radiance rides the surface field's geometric features instead of its
     # own hash-grid lookup at the same positions — halves the step's gather

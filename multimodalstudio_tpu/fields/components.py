@@ -13,8 +13,15 @@ from typing import Dict, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from typing import Union
+
 from multimodalstudio_tpu.fields.mlp import MLP, MLPSpec
 from multimodalstudio_tpu.ops.encodings import HashEncoding, HashGridSpec
+from multimodalstudio_tpu.ops.pallas.slot_grid import (
+    SlotGridSpec,
+    make_table_init,
+    slot_grid_lookup,
+)
 from multimodalstudio_tpu.ops.polarization import (
     align_polarization_filters,
     stokes_to_intensity,
@@ -37,13 +44,29 @@ class SingleVariance(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class FeatureGridSpec:
-    """Reference FeatureGridConfig (feature_structures.py:25-42)."""
+    """Reference FeatureGridConfig (feature_structures.py:25-42).
 
-    encoding: HashGridSpec = HashGridSpec()
+    `encoding` selects the backend: HashGridSpec = XLA-gather hash grid
+    (bit-faithful tcnn semantics, HBM gather-bound); SlotGridSpec =
+    VMEM-resident slot-hash grid Pallas kernel (the TPU production path,
+    ops/pallas/slot_grid.py)."""
+
+    encoding: Union[HashGridSpec, SlotGridSpec] = HashGridSpec()
     coarse_to_fine: bool = True
     steps_per_level_ratio: float = 0.1
     level_init: int = 1
     radius: float = 1.0
+
+
+class SlotGridEncoding(nn.Module):
+    """Flax module owning a slot-grid table (ops/pallas/slot_grid)."""
+
+    spec: SlotGridSpec
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, num_levels: Optional[int] = None) -> jnp.ndarray:
+        table = self.param("table", make_table_init(self.spec))
+        return slot_grid_lookup(table, x, self.spec, num_levels)
 
 
 class FeatureGrid(nn.Module):
@@ -66,7 +89,12 @@ class FeatureGrid(nn.Module):
         # clamp to the grid domain: numerical-gradient taps and background
         # samples can step slightly outside [-r, r]; tcnn clamps likewise
         rescaled = jnp.clip(rescaled, 0.0, 1.0 - 1e-6)
-        features = HashEncoding(spec.encoding, name="encoding")(rescaled, max_level)
+        if isinstance(spec.encoding, SlotGridSpec):
+            features = SlotGridEncoding(spec.encoding, name="encoding")(
+                rescaled, max_level
+            )
+        else:
+            features = HashEncoding(spec.encoding, name="encoding")(rescaled, max_level)
         if spec.coarse_to_fine and active_level is not None:
             fpl = spec.encoding.features_per_level
             level_of_feature = jnp.arange(spec.encoding.out_dim) // fpl

@@ -55,6 +55,12 @@ from multimodalstudio_tpu.fields.mlp import (
     finalize_weight_norm,
 )
 from multimodalstudio_tpu.models.colliders import background_bounds, sphere_collide
+
+
+def _is_slot_grid(grid_spec) -> bool:
+    from multimodalstudio_tpu.ops.pallas.slot_grid import SlotGridSpec
+
+    return isinstance(grid_spec.encoding, SlotGridSpec)
 from multimodalstudio_tpu.models.samplers import (
     NeuSSamplerSpec,
     SpacedSamplerSpec,
@@ -290,6 +296,25 @@ class MMSModel:
 
         if not spec.use_numerical_gradients:
             fspec = self.sdf_field.spec
+            grid_spec = fspec.field.grid
+            use_slot = (
+                grid_spec is not None
+                and _is_slot_grid(grid_spec)
+                and can_fuse(fspec.field.mlp)
+                and fspec.field.mlp.out_activation in (None, "None")
+                and spec.contraction_order is None
+            )
+            if use_slot:
+                return self._slot_sdf_gradients(params, positions, schedules, train)
+            if grid_spec is not None and _is_slot_grid(grid_spec):
+                # slot-grid tables go through a custom_vjp Pallas op, which
+                # has no forward-mode rule — the jacfwd fallback below
+                # cannot apply. Gradients must come from the fused path or
+                # numerical taps.
+                raise ValueError(
+                    "slot-grid analytic SDF gradients need fused MLPs "
+                    "(set mlp.fused=True, dtype=bfloat16) or numerical taps"
+                )
             use_fused = (
                 fspec.field.grid is None
                 and can_fuse(fspec.field.mlp)
@@ -396,44 +421,154 @@ class MMSModel:
         delta = schedules.numerical_delta
         sdf, geo = self.sdf_geo(params, positions, lvl)
         if spec.numerical_gradient_taps == 4:
+            return self._numerical_gradients_4tap(
+                params, positions, schedules, train, sdf, geo
+            )
+        if spec.numerical_gradient_taps == 6:
+            return self._numerical_gradients_6tap(
+                params, positions, schedules, train, sdf, geo
+            )
+        raise ValueError("numerical_gradient_taps must be 4 or 6")
+
+    def _slot_sdf_gradients(
+        self, params, positions: jnp.ndarray, schedules: ScheduleState, train: bool
+    ):
+        """Analytic SDF gradients for the slot-grid backend.
+
+        The slot-grid Pallas op (ops/pallas/slot_grid.py) emits the grid
+        features AND their 3 spatial tangents directly; the NeRF positional
+        encoding's tangents come from jax.jvp; both feed the fused Pallas
+        MLP chain as explicit forward-mode tangents (tangent_out_channel=0
+        -> d sdf / d x). Replaces vmap(jacfwd) — which cannot apply here:
+        the slot op is a custom_vjp with no forward-mode rule — and the
+        tcnn NetworkWithInputEncoding kernel of the reference
+        (src/field_components/mlp.py:246-293).
+
+        Curvature hessians, when requested, use the reference's 4-tap
+        numerical estimate (surface_model.py:137-153) on extra SDF value
+        queries — the same estimator the reference grid method trains with.
+        """
+        from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_chain
+        from multimodalstudio_tpu.ops.pallas.slot_grid import slot_grid_lookup
+
+        spec = self.spec.surface
+        fspec = self.sdf_field.spec
+        gspec = fspec.field.grid
+        lvl = schedules.active_level
+        mspec = fspec.field.mlp
+        flat = positions.reshape(-1, 3)
+
+        r = gspec.radius
+        rescaled = jnp.clip((flat + r) / (2.0 * r), 0.0, 1.0 - 1e-6)
+        table = params["surface_field"]["field"]["grid_mlp"]["feature_grid"][
+            "encoding"
+        ]["table"]
+        enc_g, tenc_g = slot_grid_lookup(
+            table, rescaled, gspec.encoding, with_tangents=True
+        )
+        tenc_g = tenc_g / (2.0 * r)  # chain rule through the [-r, r] rescale
+        if gspec.coarse_to_fine and lvl is not None:
+            fpl = gspec.encoding.features_per_level
+            level_of_feature = jnp.arange(gspec.encoding.out_dim) // fpl
+            mask = (level_of_feature < lvl).astype(enc_g.dtype)
+            enc_g = enc_g * mask
+            tenc_g = tenc_g * mask
+
+        parts = [flat]
+        tparts = [jnp.broadcast_to(jnp.eye(3)[:, None, :], (3, flat.shape[0], 3))]
+        if fspec.use_position_encoding:
+            pspec = fspec.position_encoding
+            enc_fn = lambda p: pspec.apply(p)[:, 3:] if pspec.include_input else pspec.apply(p)
+            tangs = []
+            for k in range(3):
+                e = jnp.zeros_like(flat).at[:, k].set(1.0)
+                primal_pe, t = jax.jvp(enc_fn, (flat,), (e,))
+                tangs.append(t)
+            parts.append(primal_pe)
+            tparts.append(jnp.stack(tangs))
+        parts.append(enc_g)
+        tparts.append(tenc_g)
+        x_in = jnp.concatenate(parts, axis=-1)
+        tx = jnp.concatenate(tparts, axis=-1)
+
+        ws, bs = effective_mlp_weights(
+            params["surface_field"]["field"]["grid_mlp"]["mlp_head"], mspec
+        )
+        y, grad = fused_chain(
+            x_in, ws, bs,
+            skip=mspec.skip_connections,
+            activation=mspec.activation,
+            beta=mspec.activation_beta,
+            tangents=tx,
+            tangent_out_channel=0,
+        )
+        y = y.astype(jnp.float32)
+        sdf = y[:, 0].reshape(positions.shape[:-1])
+        geo = y[:, 1:].reshape(*positions.shape[:-1], -1)
+        gradients = grad.reshape(positions.shape)
+
+        hessians = None
+        if train and spec.compute_hessian:
+            delta = schedules.numerical_delta
             d = delta / np.sqrt(3.0)
             k = jnp.asarray(
                 [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]]
             )
-            taps = positions[..., None, :] + k * d  # [..., 4, 3]
-            tap_sdf = self.sdf_only(params, taps, lvl)  # [..., 4]
-            gradients = jnp.sum(k * tap_sdf[..., None], axis=-2) / (4.0 * d)
-            hessians = None
-            if train and spec.compute_hessian:
-                hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * sdf) / delta**2
-                hessians = jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
-            return sdf, geo, gradients, hessians
+            taps = positions[..., None, :] + k * d
+            tap_sdf = self.sdf_only(params, taps, lvl)
+            hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * sdf) / delta**2
+            hessians = jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
+        return sdf, geo, gradients, hessians
 
-        if spec.numerical_gradient_taps == 6:
-            offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0)  # [6, 3]
-            taps = positions[..., None, :] + offs * delta
-            tap_sdf = self.sdf_only(params, taps, lvl)  # [..., 6]
-            gradients = jnp.stack(
+    def _numerical_gradients_4tap(
+        self, params, positions, schedules, train, sdf, geo
+    ):
+        """4-tap tetrahedral taps (reference surface_model.py:137-153)."""
+        spec = self.spec.surface
+        lvl = schedules.active_level
+        delta = schedules.numerical_delta
+        d = delta / np.sqrt(3.0)
+        k = jnp.asarray(
+            [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]]
+        )
+        taps = positions[..., None, :] + k * d  # [..., 4, 3]
+        tap_sdf = self.sdf_only(params, taps, lvl)  # [..., 4]
+        gradients = jnp.sum(k * tap_sdf[..., None], axis=-2) / (4.0 * d)
+        hessians = None
+        if train and spec.compute_hessian:
+            hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * sdf) / delta**2
+            hessians = jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
+        return sdf, geo, gradients, hessians
+
+    def _numerical_gradients_6tap(
+        self, params, positions, schedules, train, sdf, geo
+    ):
+        """6-tap axis taps (reference surface_model.py:154-189)."""
+        spec = self.spec.surface
+        lvl = schedules.active_level
+        delta = schedules.numerical_delta
+        offs = jnp.concatenate([jnp.eye(3), -jnp.eye(3)], axis=0)  # [6, 3]
+        taps = positions[..., None, :] + offs * delta
+        tap_sdf = self.sdf_only(params, taps, lvl)  # [..., 6]
+        gradients = jnp.stack(
+            [
+                0.5 * (tap_sdf[..., 0] - tap_sdf[..., 3]) / delta,
+                0.5 * (tap_sdf[..., 1] - tap_sdf[..., 4]) / delta,
+                0.5 * (tap_sdf[..., 2] - tap_sdf[..., 5]) / delta,
+            ],
+            axis=-1,
+        )
+        hessians = None
+        if train and spec.compute_hessian:
+            hessians = jnp.stack(
                 [
-                    0.5 * (tap_sdf[..., 0] - tap_sdf[..., 3]) / delta,
-                    0.5 * (tap_sdf[..., 1] - tap_sdf[..., 4]) / delta,
-                    0.5 * (tap_sdf[..., 2] - tap_sdf[..., 5]) / delta,
+                    (tap_sdf[..., 0] + tap_sdf[..., 3] - 2.0 * sdf) / delta**2,
+                    (tap_sdf[..., 1] + tap_sdf[..., 4] - 2.0 * sdf) / delta**2,
+                    (tap_sdf[..., 2] + tap_sdf[..., 5] - 2.0 * sdf) / delta**2,
                 ],
                 axis=-1,
             )
-            hessians = None
-            if train and spec.compute_hessian:
-                hessians = jnp.stack(
-                    [
-                        (tap_sdf[..., 0] + tap_sdf[..., 3] - 2.0 * sdf) / delta**2,
-                        (tap_sdf[..., 1] + tap_sdf[..., 4] - 2.0 * sdf) / delta**2,
-                        (tap_sdf[..., 2] + tap_sdf[..., 5] - 2.0 * sdf) / delta**2,
-                    ],
-                    axis=-1,
-                )
-            return sdf, geo, gradients, hessians
-
-        raise ValueError("numerical_gradient_taps must be 4 or 6")
+        return sdf, geo, gradients, hessians
 
     # --------------------------------------------------------------- forward
     def forward(

@@ -205,6 +205,32 @@ def _slot_masks():
 
 
 # ------------------------------------------------------------ fwd kernel
+#
+# Inner-loop structure (variant B of scripts/slot_probe.py, measured ~2x
+# over the per-sample variant): process 8 samples per group — the scalar
+# phase loads each (slot, sample) row into an [8, 128] scratch tile with
+# the SAMPLE in the sublane dim, so the interpolation FMAs run at full
+# vreg width with per-sample weights as lane-broadcast [8, 1] columns.
+
+def _compose_group(levels, idx_ref, tbl_ref, g_scr, s0, masks):
+    """Scalar phase: gather this group's 8x8xL rows into slot tiles, then
+    return the slot-composed [8, LANE] tile per level."""
+    for l in range(levels):
+        for p in range(NSLOT):
+            for s in range(8):
+                row = idx_ref[s0 + s, l * NSLOT + p]
+                g_scr[pl.ds((l * NSLOT + p) * 8 + s, 1), :] = tbl_ref[
+                    pl.ds(row, 1), :
+                ]
+    comps = []
+    for l in range(levels):
+        comp = jnp.zeros((8, LANE), jnp.float32)
+        for p in range(NSLOT):
+            tile8 = g_scr[pl.ds((l * NSLOT + p) * 8, 8), :]
+            comp = comp + jnp.where(masks[p], tile8, 0.0)
+        comps.append(comp)
+    return comps
+
 
 def _fwd_kernel(levels, n_tang, *refs):
     q = 0
@@ -220,31 +246,33 @@ def _fwd_kernel(levels, n_tang, *refs):
     if n_tang:
         tenc_ref = refs[q]; q += 1
     acc_scr = refs[q]; q += 1
-    tacc_scr = refs[q] if n_tang else None
+    tacc_scr = None
+    if n_tang:
+        tacc_scr = refs[q]; q += 1
+    g_scr = refs[q]
 
     b = idx_ref.shape[0]
     masks = _slot_masks()
 
-    def body(s, _):
+    def body(g, _):
+        s0 = g * 8
+        comps = _compose_group(levels, idx_ref, tbl_ref, g_scr, s0, masks)
         rows_enc = []
         rows_t = [[] for _ in range(n_tang)]
         for l in range(levels):
-            comp = jnp.zeros((1, LANE), jnp.float32)
-            for p in range(NSLOT):
-                row = idx_ref[s, l * NSLOT + p]
-                tile = tbl_ref[pl.ds(row, 1), :]
-                comp = comp + jnp.where(masks[p], tile, 0.0)
-            w8 = w_ref[pl.ds(s, 1), pl.ds(l * NSLOT, NSLOT)]
-            rows_enc.append(comp * pltpu.repeat(w8, FEAT, axis=1))
+            w88 = w_ref[pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)]  # [8, 8]
+            rows_enc.append(comps[l] * pltpu.repeat(w88, FEAT, axis=1))
             for t in range(n_tang):
-                d8 = dw_ref[t, pl.ds(s, 1), pl.ds(l * NSLOT, NSLOT)].reshape(1, NSLOT)
-                rows_t[t].append(comp * pltpu.repeat(d8, FEAT, axis=1))
-        acc_scr[pl.ds(s, 1), :] = jnp.concatenate(rows_enc, axis=1)
+                d88 = dw_ref[t, pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)].reshape(
+                    8, NSLOT
+                )
+                rows_t[t].append(comps[l] * pltpu.repeat(d88, FEAT, axis=1))
+        acc_scr[pl.ds(s0, 8), :] = jnp.concatenate(rows_enc, axis=1)
         for t in range(n_tang):
-            tacc_scr[t, pl.ds(s, 1), :] = jnp.concatenate(rows_t[t], axis=1)
+            tacc_scr[t, pl.ds(s0, 8), :] = jnp.concatenate(rows_t[t], axis=1)
         return 0
 
-    jax.lax.fori_loop(0, b, body, 0)
+    jax.lax.fori_loop(0, b // 8, body, 0)
 
     s_mat = s_ref[:]
     enc_ref[:] = jnp.dot(acc_scr[:], s_mat, preferred_element_type=jnp.float32)
@@ -274,8 +302,11 @@ def _bwd_kernel(levels, n_tang, *refs):
     if n_tang:
         ddw_out = refs[q]; q += 1
     gt_scr = refs[q]; q += 1
-    gtk_scr = refs[q] if n_tang else None
-    comp_scr = refs[q + (1 if n_tang else 0)]
+    gtk_scr = None
+    if n_tang:
+        gtk_scr = refs[q]; q += 1
+    comp_scr = refs[q]; q += 1
+    g_scr = refs[q]
 
     b = idx_ref.shape[0]
     masks = _slot_masks()
@@ -299,34 +330,33 @@ def _bwd_kernel(levels, n_tang, *refs):
             preferred_element_type=jnp.float32,
         )
 
-    def body(s, _):
-        comps = []
+    def body(g, _):
+        s0 = g * 8
+        comps = _compose_group(levels, idx_ref, tbl_ref, g_scr, s0, masks)
         for l in range(levels):
-            comp = jnp.zeros((1, LANE), jnp.float32)
-            for p in range(NSLOT):
-                row = idx_ref[s, l * NSLOT + p]
-                tile = tbl_ref[pl.ds(row, 1), :]
-                comp = comp + jnp.where(masks[p], tile, 0.0)
-            comps.append(comp)
-            # scatter value for this level's rows
-            w8 = w_ref[pl.ds(s, 1), pl.ds(l * NSLOT, NSLOT)]
-            v = gt_scr[pl.ds(s, 1), pl.ds(l * LANE, LANE)] * pltpu.repeat(
-                w8, FEAT, axis=1
+            # scatter value for this level's rows, all 8 samples at once
+            w88 = w_ref[pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)]
+            v = gt_scr[pl.ds(s0, 8), pl.ds(l * LANE, LANE)] * pltpu.repeat(
+                w88, FEAT, axis=1
             )
             for t in range(n_tang):
-                d8 = dw_ref[t, pl.ds(s, 1), pl.ds(l * NSLOT, NSLOT)].reshape(1, NSLOT)
-                v = v + gtk_scr[t, pl.ds(s, 1), pl.ds(l * LANE, LANE)] * pltpu.repeat(
-                    d8, FEAT, axis=1
+                d88 = dw_ref[t, pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)].reshape(
+                    8, NSLOT
+                )
+                v = v + gtk_scr[t, pl.ds(s0, 8), pl.ds(l * LANE, LANE)] * pltpu.repeat(
+                    d88, FEAT, axis=1
                 )
             for p in range(NSLOT):
-                row = idx_ref[s, l * NSLOT + p]
-                dtbl_ref[pl.ds(row, 1), :] = dtbl_ref[pl.ds(row, 1), :] + jnp.where(
-                    masks[p], v, 0.0
-                )
-        comp_scr[pl.ds(s, 1), :] = jnp.concatenate(comps, axis=1)
+                vm = jnp.where(masks[p], v, 0.0)
+                for s in range(8):
+                    row = idx_ref[s0 + s, l * NSLOT + p]
+                    dtbl_ref[pl.ds(row, 1), :] = (
+                        dtbl_ref[pl.ds(row, 1), :] + vm[s : s + 1, :]
+                    )
+        comp_scr[pl.ds(s0, 8), :] = jnp.concatenate(comps, axis=1)
         return 0
 
-    jax.lax.fori_loop(0, b, body, 0)
+    jax.lax.fori_loop(0, b // 8, body, 0)
 
     s2 = s2_ref[:]
     dw_out[:] = jnp.dot(comp_scr[:] * gt_scr[:], s2, preferred_element_type=jnp.float32)
@@ -363,7 +393,7 @@ def _build_calls(levels, n_tang, rows, block, n_total, interpret):
     )
     fwd_scratch = [pltpu.VMEM((block, levels * LANE), jnp.float32)] + (
         [pltpu.VMEM((3, block, levels * LANE), jnp.float32)] if n_tang else []
-    )
+    ) + [pltpu.VMEM((levels * NSLOT * 8, LANE), jnp.float32)]
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, levels, n_tang),
         grid=grid,
@@ -390,7 +420,10 @@ def _build_calls(levels, n_tang, rows, block, n_total, interpret):
     ] + ([jax.ShapeDtypeStruct((3, n_total, w_cols), jnp.float32)] if n_tang else [])
     bwd_scratch = [pltpu.VMEM((block, levels * LANE), jnp.float32)] + (
         [pltpu.VMEM((3, block, levels * LANE), jnp.float32)] if n_tang else []
-    ) + [pltpu.VMEM((block, levels * LANE), jnp.float32)]
+    ) + [
+        pltpu.VMEM((block, levels * LANE), jnp.float32),
+        pltpu.VMEM((levels * NSLOT * 8, LANE), jnp.float32),
+    ]
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, levels, n_tang),
         grid=grid,

@@ -135,6 +135,49 @@ class TestSlotGrid:
         eb = slot_grid_lookup(table, xb, SPEC)
         assert float(jnp.abs(ea - eb).max()) < 1e-2
 
+    def test_model_slot_sdf_gradients(self):
+        """grid_raw_tpu end to end: the fused slot-grid SDF gradient path
+        (slot kernel tangents + fused MLP chain) agrees with reverse-mode
+        autodiff of the flax apply path on values and spatial gradients."""
+        import dataclasses as dc
+
+        import jax
+
+        from multimodalstudio_tpu.configs.methods import method_configs
+        from multimodalstudio_tpu.models.model import MMSModel, ScheduleState
+
+        cfg = method_configs()["grid_raw_tpu"]
+        # shrink the grid for CPU interpret mode
+        sf = cfg.model.surface.surface_field
+        small = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64)
+        grid = dc.replace(sf.field.grid, encoding=small)
+        surface = dc.replace(
+            cfg.model.surface,
+            surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid)),
+        )
+        model = MMSModel(dc.replace(cfg.model, surface=surface))
+        params = model.init(jax.random.key(0))
+        sched = ScheduleState(
+            cos_anneal_ratio=jnp.asarray(1.0),
+            active_level=jnp.asarray(small.num_levels),
+            numerical_delta=jnp.asarray(1e-3),
+        )
+        pos = jax.random.uniform(jax.random.key(1), (40, 3), minval=-0.7, maxval=0.7)
+
+        sdf_f, geo_f, grad_f, hess_f = model.sdf_gradients(params, pos, sched, train=True)
+        assert hess_f is not None  # curvature hessian proxy present
+
+        sdf_r, geo_r = model.sdf_geo(params, pos, sched.active_level)
+        np.testing.assert_allclose(
+            np.asarray(sdf_f), np.asarray(sdf_r), atol=3e-2
+        )
+        assert _rel(geo_f, geo_r) < 0.05
+
+        grad_ref = jax.grad(
+            lambda p: jnp.sum(model.sdf_only(params, p, sched.active_level))
+        )(pos)
+        assert _rel(grad_f, grad_ref) < 0.08
+
     def test_dense_vs_hashed_levels(self):
         rows = SPEC.level_rows
         gdims = SPEC.resolutions // 2 + 1
