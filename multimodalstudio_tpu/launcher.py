@@ -6,7 +6,10 @@ TPU-native counterpart of reference src/launcher.py:19-32:
         --conf_path confs/grid_raw.yaml --scene <data_dir> --version v1
 
 `--scene` is the dataset directory holding meta_data.json (or `synthetic` /
-`synthetic_raw` for the built-in analytic scene).
+`synthetic_raw` for the built-in analytic scene; optional geometry suffix
+`synthetic_raw:views=36,size=128` controls view count / image size — every
+5th view is held out for eval, mirroring the reference eval_image_indices
+convention, confs/grid_raw.yaml:46).
 """
 
 from __future__ import annotations
@@ -27,13 +30,23 @@ def build_datasets(config, scene: str):
         from multimodalstudio_tpu.data.synthetic import make_synthetic_dataset
 
         raw = config.datamanager.raw
+        views, size = 12, 96
+        if ":" in scene:
+            for kv in scene.split(":", 1)[1].split(","):
+                k, _, v = kv.partition("=")
+                if k == "views":
+                    views = int(v)
+                elif k == "size":
+                    size = int(v)
+                else:
+                    raise ValueError(f"unknown synthetic scene option {kv!r}")
         train = make_synthetic_dataset(
-            config.modalities, num_views=12, height=96, width=96, raw=raw,
-            view_ids=[i for i in range(12) if i % 5 != 4],
+            config.modalities, num_views=views, height=size, width=size, raw=raw,
+            view_ids=[i for i in range(views) if i % 5 != 4],
         )
         evald = make_synthetic_dataset(
-            config.modalities, num_views=12, height=96, width=96, raw=raw,
-            view_ids=[i for i in range(12) if i % 5 == 4],
+            config.modalities, num_views=views, height=size, width=size, raw=raw,
+            view_ids=[i for i in range(views) if i % 5 == 4],
         )
         return train, evald
 
@@ -86,7 +99,8 @@ def main(argv=None):
     train_ds, eval_ds = build_datasets(config, args.scene)
     config = resolve_model_channels(config, train_ds)
 
-    scene_name = os.path.basename(os.path.normpath(args.scene)) or args.scene
+    scene = args.scene.split(":", 1)[0] if args.scene.startswith("synthetic") else args.scene
+    scene_name = os.path.basename(os.path.normpath(scene)) or scene
     conf_name = (
         os.path.splitext(os.path.basename(args.conf_path))[0]
         if args.conf_path
