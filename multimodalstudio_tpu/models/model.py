@@ -97,6 +97,14 @@ class SurfaceModelSpec:
     # importance-sampling distribution needs coarse geometry only; bins are
     # detached). None = all levels. Saves ~half the sampler's table gathers.
     sampler_levels: Optional[int] = None
+    # Curvature hessian taps on every `stride`-th sample along each ray
+    # (depth-stratified). The reference curvature loss is an UNWEIGHTED
+    # mean of |laplacian| over all render samples (losses.py:143-150), so
+    # a strided subset is an unbiased estimate of the same objective with
+    # 1/stride of the tap queries — the taps are 4 extra SDF evaluations
+    # (with backward) per sample and dominate the grid method's scalar-
+    # gather budget. 1 = reference-exact.
+    curvature_tap_stride: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -514,9 +522,16 @@ class MMSModel:
             k = jnp.asarray(
                 [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]]
             )
-            taps = positions[..., None, :] + k * d
+            tap_pos, tap_base_sdf = positions, sdf
+            stride = spec.curvature_tap_stride
+            if stride > 1 and positions.ndim >= 3:
+                # depth-stratified subset: every stride-th sample per ray
+                # (unbiased estimate of the reference's unweighted mean)
+                tap_pos = positions[..., ::stride, :]
+                tap_base_sdf = sdf[..., ::stride]
+            taps = tap_pos[..., None, :] + k * d
             tap_sdf = self.sdf_only(params, taps, lvl)
-            hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * sdf) / delta**2
+            hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * tap_base_sdf) / delta**2
             hessians = jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
         return sdf, geo, gradients, hessians
 

@@ -9,21 +9,40 @@ with dynamic sublane-offset loads from a VMEM-RESIDENT table, measured at
 ~1.2-1.5G tile-loads/s (scripts/block_probe.py) — two orders of magnitude
 above the XLA gather rate.
 
-Layout ("parity slots"):
+Two layouts (SlotGridSpec.layout):
+
+"vertex" (exact tcnn semantics):
   - Vertices are grouped 2x2x2 by coordinate parity. One table ROW
     ([1, 128] lanes) holds one group: the vertex with parity bits
     p = (x&1) + 2*(y&1) + 4*(z&1) owns the INTERLEAVED lane set
-    {lane : lane % 8 == p}, i.e. feature f of parity p sits at lane f*8+p
-    (interleaved so pltpu.repeat, which tiles, expands per-slot weights to
-    w[lane % 8] directly).
+    {lane : lane % 8 == p}, i.e. feature f of parity p sits at lane f*8+p.
   - A trilerp cell's 8 corners have all 8 parities exactly once, so corner
     extraction is a STATIC lane mask — no lane shuffles, no lane
-    reductions — and interpolation is 8 masked row FMAs.
+    reductions.
   - Row index = dense product indexing over group coords when the level's
     group grid fits its row budget, else the Instant-NGP XOR hash on group
     coords (same primes as ops/encodings.py, applied at 2x coarser
     granularity). Vertices are stored exactly once -> C^0 continuity,
-    matching tcnn semantics.
+    matching tcnn semantics. Cost: 8 row copies per (sample, level) — and
+    the scalar core's copy-issue rate (~354M row-copies/s measured,
+    scripts/slot_phase.py) is the roofline that pins this layout at
+    ~7M samples/s forward, ~2M samples/s with backward.
+
+"cell" (TPU-native, 8x fewer copies):
+  - One row per (CELL, level): lane f*8+p holds feature f of the cell's
+    corner p (corner offset bits p = dx + 2*dy + 4*dz). A lookup is ONE
+    row copy per (sample, level); the backward is ONE scatter-add.
+  - Row index = dense cell indexing when res^3 fits the row budget, else
+    the XOR hash on the cell coordinate.
+  - Corner values are per-cell parameters: the field is trilinear INSIDE
+    each cell but not C^0 across cell faces (adjacent cells own separate
+    copies of their shared corners, and hashed levels alias whole cells).
+    The training losses (data + eikonal + curvature taps straddling faces)
+    drive neighbouring rows toward consistency; the quality cost vs the
+    exact layout is measured on the 1500-step harness
+    (scripts/quality_check.py) — this is the deliberate TPU trade: tcnn's
+    per-vertex HBM gathers are free on GPU (thousands of threads), while
+    on TPU the scalar-issue roofline makes copy COUNT the only lever.
 
 Differentiation strategy: the Pallas op  enc_l = sum_p w_p * T[idx_p]  is
 BILINEAR in (w, table), and the spatial-tangent output reuses the same
@@ -69,10 +88,13 @@ class SlotGridSpec:
     rows_per_level: int = 2048
     hash_init_scale: float = 1e-4
     interpolation: str = "Smoothstep"  # Smoothstep | Linear
+    layout: str = "vertex"  # vertex (exact C^0) | cell (1 copy/sample-level)
 
     def __post_init__(self):
         if self.rows_per_level & (self.rows_per_level - 1):
             raise ValueError("rows_per_level must be a power of two")
+        if self.layout not in ("vertex", "cell"):
+            raise ValueError(f"unknown slot-grid layout {self.layout!r}")
 
     @property
     def features_per_level(self) -> int:
@@ -93,8 +115,11 @@ class SlotGridSpec:
 
     @property
     def level_rows(self) -> np.ndarray:
-        gdims = self.resolutions // 2 + 1
-        dense = gdims.astype(np.int64) ** 3
+        if self.layout == "cell":
+            dense = self.resolutions.astype(np.int64) ** 3
+        else:
+            gdims = self.resolutions // 2 + 1
+            dense = gdims.astype(np.int64) ** 3
         return np.where(dense <= self.rows_per_level, dense, self.rows_per_level).astype(
             np.int64
         )
@@ -120,17 +145,34 @@ def slot_geometry(
 ):
     """Row indices and (differentiable) trilerp weights for all slots.
 
-    x: [N, 3] in [0, 1]. Returns (idx [N, K*8] int32, w [N, K*8] f32,
-    dw [3, N, K*8] f32) with K = effective levels. idx is constant in x;
-    w/dw are plain XLA functions of x (autodiff carries position
-    gradients, including second order, through them).
+    x: [N, 3] in [0, 1]. Returns (idx, w [N, K*8] f32, dw [N, 3*K*8] f32)
+    with K = effective levels; idx is [N, K*8] int32 for the vertex layout
+    (one row per corner) and [N, K] for the cell layout (one row per
+    sample-level). dw column t*K*8 + c is d w[:, c] / d x[:, t]. idx is
+    constant in x; w/dw are plain XLA functions of x (autodiff carries
+    position gradients, including second order, through them). dw is 2D
+    with the tangent axis FOLDED INTO LANES: a leading [3, N, K*8] axis
+    makes both the XLA->Pallas operand layout conversion and the in-kernel
+    3D-ref slices ~2.2x slower (measured, scripts/slot_gap3.py C-vs-D).
     """
     k = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
     res = spec.resolutions[:k]
     rows = spec.level_rows[:k]
     offs = spec.level_offsets[:k]
+    cell = spec.layout == "cell"
     gdims = (res // 2 + 1).astype(np.int64)
-    dense_level = gdims ** 3 <= spec.rows_per_level
+    dense_level = (
+        res.astype(np.int64) ** 3 <= spec.rows_per_level
+        if cell
+        else gdims ** 3 <= spec.rows_per_level
+    )
+
+    # all-corner offset bits [8, 3] (slot-vectorized: per-column [N] loops
+    # stack 48 lane-to-sublane relayouts — measured as most of the op's
+    # XLA-side overhead)
+    pb_all = np.stack(
+        [[p & 1, (p >> 1) & 1, (p >> 2) & 1] for p in range(NSLOT)]
+    ).astype(np.int32)
 
     idx_cols, w_cols, dw_cols = [], [], []
     for l in range(k):
@@ -147,39 +189,54 @@ def slot_geometry(
         else:
             raise ValueError(f"unknown interpolation {spec.interpolation}")
         b = jnp.clip(base.astype(jnp.int32), 0, int(res[l]) - 1)
-        par = b & 1
-        gb = b >> 1
-        for p in range(NSLOT):
-            pb = np.array([p & 1, (p >> 1) & 1, (p >> 2) & 1], dtype=np.int32)
-            d = jnp.bitwise_xor(par, pb[None, :])  # [N, 3] corner offset 0/1
-            g = gb + (par & d)  # group coord of this corner (carry when both 1)
+        if cell:
+            # one row per cell; lane slot p = corner offset bits
+            if dense_level[l]:
+                rr = int(res[l])
+                row = b[:, 0] + b[:, 1] * rr + b[:, 2] * rr * rr
+            else:
+                bu = b.astype(jnp.uint32)
+                h = bu[:, 0] * _PRIMES[0]
+                h = jnp.bitwise_xor(h, bu[:, 1] * _PRIMES[1])
+                h = jnp.bitwise_xor(h, bu[:, 2] * _PRIMES[2])
+                row = (h & np.uint32(int(rows[l]) - 1)).astype(jnp.int32)
+            idx_cols.append((row + np.int32(offs[l])).astype(jnp.int32)[:, None])
+            d8 = jnp.broadcast_to(
+                pb_all[None, :, :], (x.shape[0], NSLOT, 3)
+            )  # [N, 8, 3]
+        else:
+            par = b & 1
+            gb = b >> 1
+            d8 = jnp.bitwise_xor(par[:, None, :], pb_all[None, :, :])  # [N, 8, 3]
+            g8 = gb[:, None, :] + (par[:, None, :] & d8)
             if dense_level[l]:
                 gd = int(gdims[l])
-                row = g[:, 0] + g[:, 1] * gd + g[:, 2] * gd * gd
+                row8 = g8[..., 0] + g8[..., 1] * gd + g8[..., 2] * gd * gd
             else:
-                gu = g.astype(jnp.uint32)
-                h = gu[:, 0] * _PRIMES[0]
-                h = jnp.bitwise_xor(h, gu[:, 1] * _PRIMES[1])
-                h = jnp.bitwise_xor(h, gu[:, 2] * _PRIMES[2])
-                row = (h & np.uint32(int(rows[l]) - 1)).astype(jnp.int32)
-            idx_cols.append((row + np.int32(offs[l])).astype(jnp.int32))
+                gu = g8.astype(jnp.uint32)
+                h = gu[..., 0] * _PRIMES[0]
+                h = jnp.bitwise_xor(h, gu[..., 1] * _PRIMES[1])
+                h = jnp.bitwise_xor(h, gu[..., 2] * _PRIMES[2])
+                row8 = (h & np.uint32(int(rows[l]) - 1)).astype(jnp.int32)
+            idx_cols.append((row8 + np.int32(offs[l])).astype(jnp.int32))  # [N, 8]
 
-            df = d.astype(x.dtype)
-            wa = df * s + (1.0 - df) * (1.0 - s)  # [N, 3] per-axis weight
-            dwa = (2.0 * df - 1.0) * ds  # d wa / d x
-            w_cols.append(wa[:, 0] * wa[:, 1] * wa[:, 2])
-            dw_cols.append(
-                jnp.stack(
-                    [
-                        dwa[:, 0] * wa[:, 1] * wa[:, 2],
-                        wa[:, 0] * dwa[:, 1] * wa[:, 2],
-                        wa[:, 0] * wa[:, 1] * dwa[:, 2],
-                    ]
-                )
-            )  # [3, N]
-    idx = jnp.stack(idx_cols, axis=-1)  # [N, K*8]
-    w = jnp.stack(w_cols, axis=-1)
-    dw = jnp.stack(dw_cols, axis=-1)  # [3, N, K*8]
+        df = d8.astype(x.dtype)
+        wa = df * s[:, None, :] + (1.0 - df) * (1.0 - s[:, None, :])  # [N, 8, 3]
+        dwa = (2.0 * df - 1.0) * ds[:, None, :]
+        w_cols.append(wa[..., 0] * wa[..., 1] * wa[..., 2])  # [N, 8]
+        dw_cols.append(
+            (
+                dwa[..., 0] * wa[..., 1] * wa[..., 2],
+                wa[..., 0] * dwa[..., 1] * wa[..., 2],
+                wa[..., 0] * wa[..., 1] * dwa[..., 2],
+            )
+        )
+    idx = jnp.concatenate(idx_cols, axis=-1)  # [N, K*8] (vertex) | [N, K] (cell)
+    w = jnp.concatenate(w_cols, axis=-1)
+    # t-major column blocks: col t*(K*8) + c
+    dw = jnp.concatenate(
+        [cols[t] for t in range(3) for cols in dw_cols], axis=-1
+    )  # [N, 3*K*8]
     return idx, w, dw
 
 
@@ -199,6 +256,21 @@ def _sum_matrices(levels: int):
     return s1.astype(np.float32), s2.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _expand_matrix(levels: int):
+    """P [levels*8, levels*128]: lane-expands per-slot weight columns
+    (col l*8+p spreads to lanes l*128 + f*8 + p for every feature f), so
+    the whole block's weight expansion is ONE small MXU matmul instead of
+    per-group pltpu.repeat (measured ~4x slower from [8, 8] sub-vreg
+    sources) or 8 lane-broadcast FMAs per (group, level)."""
+    r = np.arange(levels * NSLOT)
+    c = np.arange(levels * LANE)
+    return (
+        ((r // NSLOT)[:, None] == c[None] // LANE)
+        & ((r % NSLOT)[:, None] == (c % LANE) % NSLOT)
+    ).astype(np.float32)
+
+
 def _slot_masks():
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     return [(lane % NSLOT) == p for p in range(NSLOT)]
@@ -206,33 +278,15 @@ def _slot_masks():
 
 # ------------------------------------------------------------ fwd kernel
 #
-# Inner-loop structure (variant B of scripts/slot_probe.py, measured ~2x
-# over the per-sample variant): process 8 samples per group — the scalar
-# phase loads each (slot, sample) row into an [8, 128] scratch tile with
-# the SAMPLE in the sublane dim, so the interpolation FMAs run at full
-# vreg width with per-sample weights as lane-broadcast [8, 1] columns.
+# Structure: a scalar gather loop fills comp_scr [block, levels*128] with
+# per-sample "composed" rows (vertex: masked-sum of the 8 parity-slot rows,
+# grouped 8 samples at a time — variant B of scripts/slot_probe.py; cell:
+# the row itself, copied straight in). EVERYTHING else is whole-block
+# dense math: per-slot weights lane-expand via one small MXU matmul
+# (w @ P), interpolation is one elementwise multiply per output, and the
+# slot reduction is the S matmul. No per-group vector work remains.
 
-def _compose_group(levels, idx_ref, tbl_ref, g_scr, s0, masks):
-    """Scalar phase: gather this group's 8x8xL rows into slot tiles, then
-    return the slot-composed [8, LANE] tile per level."""
-    for l in range(levels):
-        for p in range(NSLOT):
-            for s in range(8):
-                row = idx_ref[s0 + s, l * NSLOT + p]
-                g_scr[pl.ds((l * NSLOT + p) * 8 + s, 1), :] = tbl_ref[
-                    pl.ds(row, 1), :
-                ]
-    comps = []
-    for l in range(levels):
-        comp = jnp.zeros((8, LANE), jnp.float32)
-        for p in range(NSLOT):
-            tile8 = g_scr[pl.ds((l * NSLOT + p) * 8, 8), :]
-            comp = comp + jnp.where(masks[p], tile8, 0.0)
-        comps.append(comp)
-    return comps
-
-
-def _fwd_kernel(levels, n_tang, *refs):
+def _fwd_kernel(levels, n_tang, want_comp, cell, *refs):
     q = 0
     idx_ref = refs[q]; q += 1
     w_ref = refs[q]; q += 1
@@ -241,48 +295,84 @@ def _fwd_kernel(levels, n_tang, *refs):
         dw_ref = refs[q]; q += 1
     tbl_ref = refs[q]; q += 1
     s_ref = refs[q]; q += 1
+    p_ref = refs[q]; q += 1
     enc_ref = refs[q]; q += 1
     tenc_ref = None
     if n_tang:
         tenc_ref = refs[q]; q += 1
-    acc_scr = refs[q]; q += 1
-    tacc_scr = None
-    if n_tang:
-        tacc_scr = refs[q]; q += 1
-    g_scr = refs[q]
+    comp_ref = None
+    if want_comp:
+        comp_ref = refs[q]; q += 1
+    comp_scr = refs[q]; q += 1
+    g_scr = refs[q]; q += 1
 
     b = idx_ref.shape[0]
-    masks = _slot_masks()
+    wc = levels * NSLOT
+    ll = levels * LANE
+    # when the comp residual is an output, gather straight into it
+    cdst = comp_ref if want_comp else comp_scr
 
-    def body(g, _):
-        s0 = g * 8
-        comps = _compose_group(levels, idx_ref, tbl_ref, g_scr, s0, masks)
-        rows_enc = []
-        rows_t = [[] for _ in range(n_tang)]
-        for l in range(levels):
-            w88 = w_ref[pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)]  # [8, 8]
-            rows_enc.append(comps[l] * pltpu.repeat(w88, FEAT, axis=1))
-            for t in range(n_tang):
-                d88 = dw_ref[t, pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)].reshape(
-                    8, NSLOT
-                )
-                rows_t[t].append(comps[l] * pltpu.repeat(d88, FEAT, axis=1))
-        acc_scr[pl.ds(s0, 8), :] = jnp.concatenate(rows_enc, axis=1)
-        for t in range(n_tang):
-            tacc_scr[t, pl.ds(s0, 8), :] = jnp.concatenate(rows_t[t], axis=1)
-        return 0
+    if cell:
+        # stage each 8-sample group through g_scr: Mosaic supports [1, 128]
+        # stores at dynamic sublanes only at lane offset 0, and [8, 128]
+        # moves at 8-aligned dynamic sublanes with static lane offsets
+        def body(g, _):
+            s0 = g * 8
+            for l in range(levels):
+                for s in range(8):
+                    row = idx_ref[s0 + s, l]
+                    g_scr[pl.ds(l * 8 + s, 1), :] = tbl_ref[pl.ds(row, 1), :]
+            for l in range(levels):
+                cdst[pl.ds(s0, 8), pl.ds(l * LANE, LANE)] = g_scr[pl.ds(l * 8, 8), :]
+            return 0
 
-    jax.lax.fori_loop(0, b // 8, body, 0)
+        jax.lax.fori_loop(0, b // 8, body, 0)
+    else:
+        masks = _slot_masks()
 
+        def body(g, _):
+            s0 = g * 8
+            for l in range(levels):
+                for p in range(NSLOT):
+                    for s in range(8):
+                        row = idx_ref[s0 + s, l * NSLOT + p]
+                        g_scr[pl.ds((l * NSLOT + p) * 8 + s, 1), :] = tbl_ref[
+                            pl.ds(row, 1), :
+                        ]
+            for l in range(levels):
+                comp = jnp.zeros((8, LANE), jnp.float32)
+                for p in range(NSLOT):
+                    tile8 = g_scr[pl.ds((l * NSLOT + p) * 8, 8), :]
+                    comp = comp + jnp.where(masks[p], tile8, 0.0)
+                cdst[pl.ds(s0, 8), pl.ds(l * LANE, LANE)] = comp
+            return 0
+
+        jax.lax.fori_loop(0, b // 8, body, 0)
+
+    comp = cdst[:]
     s_mat = s_ref[:]
-    enc_ref[:] = jnp.dot(acc_scr[:], s_mat, preferred_element_type=jnp.float32)
+    p_mat = p_ref[:]
+    ew = levels * FEAT
+    wexp = jnp.dot(w_ref[:], p_mat, preferred_element_type=jnp.float32)
+    enc_ref[:] = jnp.dot(comp * wexp, s_mat, preferred_element_type=jnp.float32)
     for t in range(n_tang):
-        tenc_ref[t] = jnp.dot(tacc_scr[t], s_mat, preferred_element_type=jnp.float32)
+        dwexp = jnp.dot(
+            dw_ref[:, pl.ds(t * wc, wc)], p_mat, preferred_element_type=jnp.float32
+        )
+        tenc_ref[:, pl.ds(t * ew, ew)] = jnp.dot(
+            comp * dwexp, s_mat, preferred_element_type=jnp.float32
+        )
 
 
 # ------------------------------------------------------------ bwd kernel
 
-def _bwd_kernel(levels, n_tang, *refs):
+def _bwd_kernel(levels, n_tang, cell, *refs):
+    """Backward: no table access at all — the fwd's residual `comp`
+    carries everything the weight gradients need, and the scatter values
+    are pure functions of the cotangents and trilerp weights. Dense phase
+    first (cotangent expansion + the full U = gt*wexp + sum_t gtk*dwexp
+    block), then a scatter-only scalar loop: one row RMW per (sample,
+    level) for the cell layout, 8 masked RMWs for the vertex layout."""
     q = 0
     idx_ref = refs[q]; q += 1
     w_ref = refs[q]; q += 1
@@ -293,109 +383,142 @@ def _bwd_kernel(levels, n_tang, *refs):
     gtenc_ref = None
     if n_tang:
         gtenc_ref = refs[q]; q += 1
-    tbl_ref = refs[q]; q += 1
+    comp_ref = refs[q]; q += 1
     s_ref = refs[q]; q += 1
     s2_ref = refs[q]; q += 1
+    p_ref = refs[q]; q += 1
     dtbl_ref = refs[q]; q += 1
     dw_out = refs[q]; q += 1
     ddw_out = None
     if n_tang:
         ddw_out = refs[q]; q += 1
-    gt_scr = refs[q]; q += 1
-    gtk_scr = None
-    if n_tang:
-        gtk_scr = refs[q]; q += 1
-    comp_scr = refs[q]; q += 1
-    g_scr = refs[q]
+    u_scr = refs[q]; q += 1
 
     b = idx_ref.shape[0]
-    masks = _slot_masks()
+    wc = levels * NSLOT
+    ll = levels * LANE
+    ew = levels * FEAT
     first = pl.program_id(0) == 0
 
     @pl.when(first)
     def _():
         dtbl_ref[:] = jnp.zeros_like(dtbl_ref)
 
-    # tile the incoming cotangents back to slot-lane layout: Gt = g @ S^T
+    # dense phase: cotangents back to slot-lane layout (Gt = g @ S^T), the
+    # weight-gradient contractions, and the full scatter-value block U
     s_mat = s_ref[:]
-    gt_scr[:] = jax.lax.dot_general(
+    p_mat = p_ref[:]
+    s2 = s2_ref[:]
+    comp = comp_ref[:]
+    gt = jax.lax.dot_general(
         genc_ref[:], s_mat,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    dw_out[:] = jnp.dot(comp * gt, s2, preferred_element_type=jnp.float32)
+    u = gt * jnp.dot(w_ref[:], p_mat, preferred_element_type=jnp.float32)
     for t in range(n_tang):
-        gtk_scr[t] = jax.lax.dot_general(
-            gtenc_ref[t], s_mat,
+        gtk = jax.lax.dot_general(
+            gtenc_ref[:, pl.ds(t * ew, ew)], s_mat,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-
-    def body(g, _):
-        s0 = g * 8
-        comps = _compose_group(levels, idx_ref, tbl_ref, g_scr, s0, masks)
-        for l in range(levels):
-            # scatter value for this level's rows, all 8 samples at once
-            w88 = w_ref[pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)]
-            v = gt_scr[pl.ds(s0, 8), pl.ds(l * LANE, LANE)] * pltpu.repeat(
-                w88, FEAT, axis=1
-            )
-            for t in range(n_tang):
-                d88 = dw_ref[t, pl.ds(s0, 8), pl.ds(l * NSLOT, NSLOT)].reshape(
-                    8, NSLOT
-                )
-                v = v + gtk_scr[t, pl.ds(s0, 8), pl.ds(l * LANE, LANE)] * pltpu.repeat(
-                    d88, FEAT, axis=1
-                )
-            for p in range(NSLOT):
-                vm = jnp.where(masks[p], v, 0.0)
-                for s in range(8):
-                    row = idx_ref[s0 + s, l * NSLOT + p]
-                    dtbl_ref[pl.ds(row, 1), :] = (
-                        dtbl_ref[pl.ds(row, 1), :] + vm[s : s + 1, :]
-                    )
-        comp_scr[pl.ds(s0, 8), :] = jnp.concatenate(comps, axis=1)
-        return 0
-
-    jax.lax.fori_loop(0, b // 8, body, 0)
-
-    s2 = s2_ref[:]
-    dw_out[:] = jnp.dot(comp_scr[:] * gt_scr[:], s2, preferred_element_type=jnp.float32)
-    for t in range(n_tang):
-        ddw_out[t] = jnp.dot(
-            comp_scr[:] * gtk_scr[t], s2, preferred_element_type=jnp.float32
+        ddw_out[:, pl.ds(t * wc, wc)] = jnp.dot(
+            comp * gtk, s2, preferred_element_type=jnp.float32
         )
+        u = u + gtk * jnp.dot(
+            dw_ref[:, pl.ds(t * wc, wc)], p_mat, preferred_element_type=jnp.float32
+        )
+    u_scr[:] = u
+
+    if cell:
+
+        def body(g, _):
+            s0 = g * 8
+            for l in range(levels):
+                u_l = u_scr[pl.ds(s0, 8), pl.ds(l * LANE, LANE)]
+                for s in range(8):
+                    row = idx_ref[s0 + s, l]
+                    dtbl_ref[pl.ds(row, 1), :] = (
+                        dtbl_ref[pl.ds(row, 1), :] + u_l[s : s + 1, :]
+                    )
+            return 0
+
+        jax.lax.fori_loop(0, b // 8, body, 0)
+    else:
+        masks = _slot_masks()
+
+        def body(g, _):
+            s0 = g * 8
+            for l in range(levels):
+                u_l = u_scr[pl.ds(s0, 8), pl.ds(l * LANE, LANE)]
+                for p in range(NSLOT):
+                    vm = jnp.where(masks[p], u_l, 0.0)
+                    for s in range(8):
+                        row = idx_ref[s0 + s, l * NSLOT + p]
+                        dtbl_ref[pl.ds(row, 1), :] = (
+                            dtbl_ref[pl.ds(row, 1), :] + vm[s : s + 1, :]
+                        )
+            return 0
+
+        jax.lax.fori_loop(0, b // 8, body, 0)
 
 
 # ------------------------------------------------------------- pallas glue
 
 @functools.lru_cache(maxsize=None)
-def _build_calls(levels, n_tang, rows, block, n_total, interpret):
+def _build_calls(
+    levels, n_tang, rows, block, n_total, interpret, cell, want_comp=False
+):
     w_cols = levels * NSLOT
     enc_w = levels * FEAT
+    idx_cols = levels if cell else w_cols
     grid = (n_total // block,)
 
     def blk(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
-    idx_spec = blk((block, w_cols), lambda i: (i, 0))
+    idx_spec = blk((block, idx_cols), lambda i: (i, 0))
     w_spec = blk((block, w_cols), lambda i: (i, 0))
-    dw_spec = blk((3, block, w_cols), lambda i: (0, i, 0))
+    dw_spec = blk((block, n_tang * w_cols), lambda i: (i, 0))
     tbl_spec = blk((rows, LANE), lambda i: (0, 0))
     s_spec = blk((levels * LANE, enc_w), lambda i: (0, 0))
     s2_spec = blk((levels * LANE, w_cols), lambda i: (0, 0))
+    p_spec = blk((w_cols, levels * LANE), lambda i: (0, 0))
     enc_spec = blk((block, enc_w), lambda i: (i, 0))
-    tenc_spec = blk((3, block, enc_w), lambda i: (0, i, 0))
+    tenc_spec = blk((block, n_tang * enc_w), lambda i: (i, 0))
+    comp_spec = blk((block, levels * LANE), lambda i: (i, 0))
 
-    fwd_in = [idx_spec, w_spec] + ([dw_spec] if n_tang else []) + [tbl_spec, s_spec]
-    fwd_out = [enc_spec] + ([tenc_spec] if n_tang else [])
-    fwd_shapes = [jax.ShapeDtypeStruct((n_total, enc_w), jnp.float32)] + (
-        [jax.ShapeDtypeStruct((3, n_total, enc_w), jnp.float32)] if n_tang else []
+    fwd_in = (
+        [idx_spec, w_spec]
+        + ([dw_spec] if n_tang else [])
+        + [tbl_spec, s_spec, p_spec]
     )
-    fwd_scratch = [pltpu.VMEM((block, levels * LANE), jnp.float32)] + (
-        [pltpu.VMEM((3, block, levels * LANE), jnp.float32)] if n_tang else []
-    ) + [pltpu.VMEM((levels * NSLOT * 8, LANE), jnp.float32)]
+    fwd_out = (
+        [enc_spec]
+        + ([tenc_spec] if n_tang else [])
+        + ([comp_spec] if want_comp else [])
+    )
+    fwd_shapes = (
+        [jax.ShapeDtypeStruct((n_total, enc_w), jnp.float32)]
+        + (
+            [jax.ShapeDtypeStruct((n_total, n_tang * enc_w), jnp.float32)]
+            if n_tang
+            else []
+        )
+        + (
+            [jax.ShapeDtypeStruct((n_total, levels * LANE), jnp.float32)]
+            if want_comp
+            else []
+        )
+    )
+    # comp scratch (unused when comp is an output ref) + group staging tiles
+    fwd_scratch = [
+        pltpu.VMEM((block, levels * LANE), jnp.float32),
+        pltpu.VMEM((levels * (8 if cell else NSLOT * 8), LANE), jnp.float32),
+    ]
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, levels, n_tang),
+        functools.partial(_fwd_kernel, levels, n_tang, want_comp, cell),
         grid=grid,
         in_specs=fwd_in,
         out_specs=fwd_out,
@@ -409,23 +532,22 @@ def _build_calls(levels, n_tang, rows, block, n_total, interpret):
         + ([dw_spec] if n_tang else [])
         + [enc_spec]
         + ([tenc_spec] if n_tang else [])
-        + [tbl_spec, s_spec, s2_spec]
+        + [comp_spec, s_spec, s2_spec, p_spec]
     )
     bwd_out = [tbl_spec, blk((block, w_cols), lambda i: (i, 0))] + (
-        [blk((3, block, w_cols), lambda i: (0, i, 0))] if n_tang else []
+        [blk((block, n_tang * w_cols), lambda i: (i, 0))] if n_tang else []
     )
     bwd_shapes = [
         jax.ShapeDtypeStruct((rows, LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_total, w_cols), jnp.float32),
-    ] + ([jax.ShapeDtypeStruct((3, n_total, w_cols), jnp.float32)] if n_tang else [])
-    bwd_scratch = [pltpu.VMEM((block, levels * LANE), jnp.float32)] + (
-        [pltpu.VMEM((3, block, levels * LANE), jnp.float32)] if n_tang else []
-    ) + [
-        pltpu.VMEM((block, levels * LANE), jnp.float32),
-        pltpu.VMEM((levels * NSLOT * 8, LANE), jnp.float32),
-    ]
+    ] + (
+        [jax.ShapeDtypeStruct((n_total, n_tang * w_cols), jnp.float32)]
+        if n_tang
+        else []
+    )
+    bwd_scratch = [pltpu.VMEM((block, levels * LANE), jnp.float32)]
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, levels, n_tang),
+        functools.partial(_bwd_kernel, levels, n_tang, cell),
         grid=grid,
         in_specs=bwd_in,
         out_specs=bwd_out,
@@ -437,30 +559,44 @@ def _build_calls(levels, n_tang, rows, block, n_total, interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _lookup_fn(levels, rows, block, interpret, n_tang):
+def _lookup_fn(levels, rows, block, interpret, n_tang, cell):
     """custom_vjp op over padded arrays: (table, idx, w[, dw]) -> enc[, tenc]."""
     s1, s2 = _sum_matrices(levels)
+    pm = _expand_matrix(levels)
 
     if n_tang:
 
         @jax.custom_vjp
         def op(table, idx, w, dw):
             n_total = idx.shape[0]
-            fwd_call, _ = _build_calls(levels, n_tang, rows, block, n_total, interpret)
-            enc, tenc = fwd_call(idx, w, dw, table, jnp.asarray(s1))
+            fwd_call, _ = _build_calls(
+                levels, n_tang, rows, block, n_total, interpret, cell
+            )
+            enc, tenc = fwd_call(idx, w, dw, table, jnp.asarray(s1), jnp.asarray(pm))
             return enc, tenc
 
         def op_fwd(table, idx, w, dw):
-            return op(table, idx, w, dw), (table, idx, w, dw)
+            # AD pass: the comp-emitting forward variant; comp replaces the
+            # table in the residuals so the backward never re-gathers
+            n_total = idx.shape[0]
+            fwd_call, _ = _build_calls(
+                levels, n_tang, rows, block, n_total, interpret, cell, want_comp=True
+            )
+            enc, tenc, comp = fwd_call(
+                idx, w, dw, table, jnp.asarray(s1), jnp.asarray(pm)
+            )
+            return (enc, tenc), (comp, idx, w, dw)
 
         def op_bwd(res, g):
-            table, idx, w, dw = res
+            comp, idx, w, dw = res
             genc, gtenc = g
             n_total = idx.shape[0]
-            _, bwd_call = _build_calls(levels, n_tang, rows, block, n_total, interpret)
+            _, bwd_call = _build_calls(
+                levels, n_tang, rows, block, n_total, interpret, cell
+            )
             d_table, d_w, d_dw = bwd_call(
                 idx, w, dw, genc.astype(jnp.float32), gtenc.astype(jnp.float32),
-                table, jnp.asarray(s1), jnp.asarray(s2),
+                comp, jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pm),
             )
             d_idx = np.zeros(idx.shape, jax.dtypes.float0)
             return d_table, d_idx, d_w, d_dw
@@ -471,18 +607,24 @@ def _lookup_fn(levels, rows, block, interpret, n_tang):
     @jax.custom_vjp
     def op0(table, idx, w):
         n_total = idx.shape[0]
-        fwd_call, _ = _build_calls(levels, 0, rows, block, n_total, interpret)
-        return fwd_call(idx, w, table, jnp.asarray(s1))[0]
+        fwd_call, _ = _build_calls(levels, 0, rows, block, n_total, interpret, cell)
+        return fwd_call(idx, w, table, jnp.asarray(s1), jnp.asarray(pm))[0]
 
     def op0_fwd(table, idx, w):
-        return op0(table, idx, w), (table, idx, w)
+        n_total = idx.shape[0]
+        fwd_call, _ = _build_calls(
+            levels, 0, rows, block, n_total, interpret, cell, want_comp=True
+        )
+        enc, comp = fwd_call(idx, w, table, jnp.asarray(s1), jnp.asarray(pm))
+        return enc, (comp, idx, w)
 
     def op0_bwd(res, genc):
-        table, idx, w = res
+        comp, idx, w = res
         n_total = idx.shape[0]
-        _, bwd_call = _build_calls(levels, 0, rows, block, n_total, interpret)
+        _, bwd_call = _build_calls(levels, 0, rows, block, n_total, interpret, cell)
         d_table, d_w = bwd_call(
-            idx, w, genc.astype(jnp.float32), table, jnp.asarray(s1), jnp.asarray(s2)
+            idx, w, genc.astype(jnp.float32), comp,
+            jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pm),
         )
         d_idx = np.zeros(idx.shape, jax.dtypes.float0)
         return d_table, d_idx, d_w
@@ -525,12 +667,19 @@ def slot_grid_lookup(
     if pad:
         idx = jnp.pad(idx, ((0, pad), (0, 0)))
         w = jnp.pad(w, ((0, pad), (0, 0)))
-        dw = jnp.pad(dw, ((0, 0), (0, pad), (0, 0)))
+        dw = jnp.pad(dw, ((0, pad), (0, 0)))
 
-    op = _lookup_fn(k, spec.total_rows, block, interpret, 3 if with_tangents else 0)
+    op = _lookup_fn(
+        k, spec.total_rows, block, interpret,
+        3 if with_tangents else 0, spec.layout == "cell",
+    )
     if with_tangents:
-        enc, tenc = op(table, idx, w, dw)
-        enc, tenc = enc[:n], tenc[:, :n]
+        enc, tenc2 = op(table, idx, w, dw)
+        # kernel emits tangents lane-folded [N, 3*k*FEAT] (2D layouts are
+        # ~2.2x faster through the operand path); unfold OUTSIDE the
+        # custom_vjp so its transpose stays plain XLA
+        enc = enc[:n]
+        tenc = tenc2[:n].reshape(n, 3, k * FEAT).transpose(1, 0, 2)
     else:
         enc = op(table, idx, w)[:n]
         tenc = None
@@ -541,10 +690,6 @@ def slot_grid_lookup(
         if tenc is not None:
             tenc = jnp.pad(tenc, ((0, 0), (0, 0), (0, padf)))
     return (enc, tenc) if with_tangents else enc
-
-
-class SlotEncoding:
-    """Flax-free init helper mirroring HashEncoding's param contract."""
 
 
 def make_table_init(spec: SlotGridSpec):

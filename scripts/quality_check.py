@@ -27,6 +27,18 @@ def main():
     parser.add_argument("--rays", type=int, default=512)
     parser.add_argument("--cpu", action="store_true", help="force CPU platform")
     parser.add_argument("--out", default=None)
+    parser.add_argument(
+        "--layout", default=None, choices=["vertex", "cell"],
+        help="override the slot-grid table layout (grid methods)",
+    )
+    parser.add_argument(
+        "--tap-stride", type=int, default=None,
+        help="override surface.curvature_tap_stride",
+    )
+    parser.add_argument(
+        "--grid-rows", type=int, default=None,
+        help="override slot-grid rows_per_level",
+    )
     args = parser.parse_args()
 
     import jax
@@ -65,6 +77,29 @@ def main():
         ),
         logging=dataclasses.replace(config.logging, steps_per_log=max(args.steps // 10, 1)),
     )
+
+    if args.layout or args.tap_stride or args.grid_rows:
+        surface = config.model.surface
+        if args.tap_stride:
+            surface = dataclasses.replace(surface, curvature_tap_stride=args.tap_stride)
+        if args.layout or args.grid_rows:
+            sf = surface.surface_field
+            enc = sf.field.grid.encoding
+            enc = dataclasses.replace(
+                enc,
+                layout=args.layout or enc.layout,
+                rows_per_level=args.grid_rows or enc.rows_per_level,
+            )
+            grid = dataclasses.replace(sf.field.grid, encoding=enc)
+            surface = dataclasses.replace(
+                surface,
+                surface_field=dataclasses.replace(
+                    sf, field=dataclasses.replace(sf.field, grid=grid)
+                ),
+            )
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, surface=surface)
+        )
 
     train_ds, eval_ds = build_datasets(config, args.scene)
     config = resolve_model_channels(config, train_ds)

@@ -21,8 +21,16 @@ from multimodalstudio_tpu.ops.pallas.slot_grid import (
     slot_grid_lookup,
 )
 
-N = 16384
-SPEC = SlotGridSpec(num_levels=6, min_res=16, max_res=512, rows_per_level=2048)
+import os
+
+N = int(os.environ.get("N", "16384"))
+SPEC = SlotGridSpec(
+    num_levels=int(os.environ.get("LEVELS", "6")),
+    min_res=16,
+    max_res=512,
+    rows_per_level=int(os.environ.get("ROWS", "2048")),
+    layout=os.environ.get("LAYOUT", "vertex"),
+)
 
 
 def slope(make_step, tag):

@@ -21,14 +21,16 @@ from multimodalstudio_tpu.ops.pallas.slot_grid import (
 )
 
 SPEC = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64)
+SPEC_CELL = SlotGridSpec(
+    num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell"
+)
 
 
 def reference_lookup(table, x, spec, num_levels=None):
     """Gather-based mirror of the slot-grid semantics (differentiable)."""
     k = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
     idx, w, _ = slot_geometry(x, spec, k)
-    rows = table[idx]  # [N, K*8, 128]
-    lane_slot = jnp.arange(LANE) % NSLOT
+    rows = table[idx]  # [N, K*8, 128] (vertex) | [N, K, 128] (cell)
     outs = []
     for l in range(k):
         feats = []
@@ -36,7 +38,8 @@ def reference_lookup(table, x, spec, num_levels=None):
             acc = 0.0
             for p in range(NSLOT):
                 col = l * NSLOT + p
-                acc = acc + w[:, col] * rows[:, col, f * NSLOT + p]
+                row_col = l if spec.layout == "cell" else col
+                acc = acc + w[:, col] * rows[:, row_col, f * NSLOT + p]
             feats.append(acc)
         outs.append(jnp.stack(feats, axis=-1))
     enc = jnp.concatenate(outs, axis=-1)
@@ -45,8 +48,8 @@ def reference_lookup(table, x, spec, num_levels=None):
     return enc
 
 
-def _setup(n=37, key=0):
-    table = make_table_init(SPEC)(jax.random.key(key))
+def _setup(n=37, key=0, spec=SPEC):
+    table = make_table_init(spec)(jax.random.key(key))
     # amplify so signals are O(1)
     table = table * 1e4
     x = jax.random.uniform(jax.random.key(key + 1), (n, 3), minval=0.01, maxval=0.97)
@@ -59,46 +62,50 @@ def _rel(a, b):
     return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
 
 
-class TestSlotGrid:
-    def test_forward_matches_reference(self):
-        table, x = _setup()
-        enc = slot_grid_lookup(table, x, SPEC)
-        ref = reference_lookup(table, x, SPEC)
+import pytest
+
+
+@pytest.mark.parametrize("spec", [SPEC, SPEC_CELL], ids=["vertex", "cell"])
+class TestSlotGridLayouts:
+    def test_forward_matches_reference(self, spec):
+        table, x = _setup(spec=spec)
+        enc = slot_grid_lookup(table, x, spec)
+        ref = reference_lookup(table, x, spec)
         np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=1e-5)
 
-    def test_forward_truncated_levels(self):
-        table, x = _setup(key=3)
-        enc = slot_grid_lookup(table, x, SPEC, num_levels=2)
-        ref = reference_lookup(table, x, SPEC, num_levels=2)
+    def test_forward_truncated_levels(self, spec):
+        table, x = _setup(key=3, spec=spec)
+        enc = slot_grid_lookup(table, x, spec, num_levels=2)
+        ref = reference_lookup(table, x, spec, num_levels=2)
         np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=1e-5)
         assert np.abs(np.asarray(enc)[:, 2 * FEAT:]).max() == 0.0
 
-    def test_tangents_match_jacfwd_of_reference(self):
-        table, x = _setup(key=5)
-        enc, tenc = slot_grid_lookup(table, x, SPEC, with_tangents=True)
-        ref = reference_lookup(table, x, SPEC)
+    def test_tangents_match_jacfwd_of_reference(self, spec):
+        table, x = _setup(key=5, spec=spec)
+        enc, tenc = slot_grid_lookup(table, x, spec, with_tangents=True)
+        ref = reference_lookup(table, x, spec)
         np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=1e-5)
         for k in range(3):
             e = jnp.zeros_like(x).at[:, k].set(1.0)
-            _, t_ref = jax.jvp(lambda q: reference_lookup(table, q, SPEC), (x,), (e,))
+            _, t_ref = jax.jvp(lambda q: reference_lookup(table, q, spec), (x,), (e,))
             assert _rel(tenc[k], t_ref) < 1e-4, f"tangent {k}"
 
-    def test_grads_match_reference_autodiff(self):
+    def test_grads_match_reference_autodiff(self, spec):
         """Reverse mode through (enc, tenc): d table and d x, including the
         second-order smoothstep terms that the tangent outputs induce."""
-        table, x = _setup(n=29, key=7)
+        table, x = _setup(n=29, key=7, spec=spec)
 
         def loss_kernel(table, x):
-            enc, tenc = slot_grid_lookup(table, x, SPEC, with_tangents=True)
+            enc, tenc = slot_grid_lookup(table, x, spec, with_tangents=True)
             return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(tenc))
 
         def loss_ref(table, x):
-            enc = reference_lookup(table, x, SPEC)
+            enc = reference_lookup(table, x, spec)
             tangs = []
             for k in range(3):
                 e = jnp.zeros_like(x).at[:, k].set(1.0)
                 tangs.append(
-                    jax.jvp(lambda q: reference_lookup(table, q, SPEC), (x,), (e,))[1]
+                    jax.jvp(lambda q: reference_lookup(table, q, spec), (x,), (e,))[1]
                 )
             tenc = jnp.stack(tangs)
             return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(tenc))
@@ -108,19 +115,22 @@ class TestSlotGrid:
         assert _rel(g1[0], g2[0]) < 1e-4, "d table"
         assert _rel(g1[1], g2[1]) < 1e-4, "d x"
 
-    def test_grads_no_tangent_path(self):
-        table, x = _setup(n=21, key=9)
+    def test_grads_no_tangent_path(self, spec):
+        table, x = _setup(n=21, key=9, spec=spec)
 
         def loss_kernel(table, x):
-            return jnp.sum(jnp.sin(slot_grid_lookup(table, x, SPEC)))
+            return jnp.sum(jnp.sin(slot_grid_lookup(table, x, spec)))
 
         def loss_ref(table, x):
-            return jnp.sum(jnp.sin(reference_lookup(table, x, SPEC)))
+            return jnp.sum(jnp.sin(reference_lookup(table, x, spec)))
 
         g1 = jax.grad(loss_kernel, argnums=(0, 1))(table, x)
         g2 = jax.grad(loss_ref, argnums=(0, 1))(table, x)
         assert _rel(g1[0], g2[0]) < 1e-4
         assert _rel(g1[1], g2[1]) < 1e-4
+
+
+class TestSlotGrid:
 
     def test_vertex_sharing_continuity(self):
         """The same logical vertex reached from neighbouring cells maps to
@@ -177,6 +187,43 @@ class TestSlotGrid:
             lambda p: jnp.sum(model.sdf_only(params, p, sched.active_level))
         )(pos)
         assert _rel(grad_f, grad_ref) < 0.08
+
+    def test_curvature_tap_stride(self):
+        """Strided curvature taps: hessians cover every stride-th sample and
+        match the dense taps at those positions (unbiased subset of the
+        reference's unweighted curvature mean, losses.py:143-150)."""
+        import dataclasses as dc
+
+        from multimodalstudio_tpu.configs.methods import method_configs
+        from multimodalstudio_tpu.models.model import MMSModel, ScheduleState
+
+        cfg = method_configs()["grid_raw_tpu"]
+        sf = cfg.model.surface.surface_field
+        small = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64)
+        grid = dc.replace(sf.field.grid, encoding=small)
+
+        def make(stride):
+            surface = dc.replace(
+                cfg.model.surface,
+                curvature_tap_stride=stride,
+                surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid)),
+            )
+            return MMSModel(dc.replace(cfg.model, surface=surface))
+
+        m1, m4 = make(1), make(4)
+        params = m1.init(jax.random.key(0))
+        sched = ScheduleState(
+            cos_anneal_ratio=jnp.asarray(1.0),
+            active_level=jnp.asarray(small.num_levels),
+            numerical_delta=jnp.asarray(1e-3),
+        )
+        pos = jax.random.uniform(jax.random.key(1), (6, 8, 3), minval=-0.7, maxval=0.7)
+        *_, h1 = m1.sdf_gradients(params, pos, sched, train=True)
+        *_, h4 = m4.sdf_gradients(params, pos, sched, train=True)
+        assert h1.shape == (6, 8, 3) and h4.shape == (6, 2, 3)
+        np.testing.assert_allclose(
+            np.asarray(h4), np.asarray(h1[:, ::4]), rtol=1e-5, atol=1e-5
+        )
 
     def test_dense_vs_hashed_levels(self):
         rows = SPEC.level_rows
