@@ -355,10 +355,15 @@ def _grid_raw_tpu() -> TrainerConfig:
     # sustain ~1.2G tiles/s. 6 levels x 16 feats/vertex, 2048 rows/level
     # (5.6 MB f32 — sized so table + gradient accumulator fit VMEM in the
     # backward kernel).
+    # layout="cell": one row per (cell, level) — 8x fewer scalar copies
+    # than exact vertex hashing (the v5e copy-issue roofline, slot_grid.py
+    # docstring) AND measured better on the 1500-step harness (cell
+    # 41.2/39.5 dB vs vertex 37.5/34.5 rgb/mono, qc_grid_{cell,vertex}_r3)
     grid_ad = dc.replace(
         sf.field.grid,
         encoding=SlotGridSpec(
-            num_levels=6, min_res=16, max_res=512, rows_per_level=2048
+            num_levels=6, min_res=16, max_res=512, rows_per_level=2048,
+            layout="cell",
         ),
     )
     surface = dc.replace(
@@ -369,6 +374,12 @@ def _grid_raw_tpu() -> TrainerConfig:
         # kernel's tangent outputs; hessians via the reference's 4-tap
         # numerical estimate (surface_model.py:137-153)
         compute_hessian=True,
+        # every 4th sample per ray gets the 4 hessian taps — unbiased
+        # depth-stratified estimate of the reference's unweighted curvature
+        # mean; quality-neutral on the harness (41.6/39.0 vs 41.2/39.5 dB,
+        # qc_grid_cell_stride4_r3) and the taps were the step's largest
+        # gather population
+        curvature_tap_stride=4,
         sampler_levels=4,
         surface_field=dc.replace(
             sf,

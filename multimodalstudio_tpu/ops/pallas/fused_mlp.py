@@ -84,6 +84,16 @@ class ChainSpec:
     # cost ~26 ms/step in re-read cotangent fusions.
     sdf_split: bool = False
     geo_width: int = 0  # padded geo-feature width for sdf_split mode
+    # Reverse-mode spatial gradient: compute d y[:, tangent_out_channel]/dx
+    # with ONE in-kernel adjoint sweep instead of K=3 forward tangent
+    # chains — the sdf output is scalar, so reverse mode costs ~1 extra
+    # chain (2 matmuls/layer fwd vs 4; 6 vs ~14 in the outer backward).
+    # The outer backward is hand-derived reverse-over-reverse: the
+    # adjoint-path weight gradient is qin_l^T v_l from a ga-forward chain
+    # m_l, plus a ddf injection e_l = m_l * s_{l+1} * act''(z_l) folded
+    # into the standard cotangent sweep. Answers tcnn's fused backward
+    # (reference src/field_components/mlp.py:223-244) one better.
+    adjoint: bool = False
 
     @property
     def n_layers(self) -> int:
@@ -156,9 +166,10 @@ def _enc_consts(spec: ChainSpec):
     return svec, masks
 
 
-def _enc_fwd(spec: ChainSpec, pos):
+def _enc_fwd(spec: ChainSpec, pos, want_t0: bool = True):
     """pos [B, LANE] f32 (cols 0..2 used) -> (h0 bf16 [B, P0],
-    t0 bf16 [3, B, P0], sin/cos parts f32 for the backward)."""
+    t0 bf16 [3, B, P0] (None unless want_t0), sin/cos parts f32 for the
+    backward)."""
     F, _, _ = spec.enc
     p0 = spec.in_dims[0]
     b = pos.shape[0]
@@ -171,6 +182,8 @@ def _enc_fwd(spec: ChainSpec, pos):
     pad = p0 - 3 - 6 * F
     zpad = [jnp.zeros((b, pad), jnp.float32)] if pad else []
     h0 = jnp.concatenate([x3, sin_p, cos_p] + zpad, axis=-1).astype(jnp.bfloat16)
+    if not want_t0:
+        return h0, None, sin_p, cos_p
     dsin = cos_p * svec
     dcos = -sin_p * svec
     eye3 = jax.lax.broadcasted_iota(jnp.int32, (b, 3), 1)
@@ -212,6 +225,27 @@ def _enc_bwd(spec: ChainSpec, sin_p, cos_p, gh0, gt0):
     return jnp.concatenate(
         cols + [jnp.zeros((b, LANE - 3), jnp.float32)], axis=-1
     )
+
+
+def _enc_jt(spec: ChainSpec, sin_p, cos_p, a):
+    """First-order transpose J_enc(x)^T a -> [B, LANE] f32 (cols 0..2).
+
+    The gh0-only half of _enc_bwd: contracts an enc-level cotangent (or
+    adjoint) with the encoding Jacobian."""
+    F, _, _ = spec.enc
+    svec, masks = _enc_consts(spec)
+    b = a.shape[0]
+    s1, s2 = 3, 3 + 3 * F
+    dsin = cos_p * svec
+    dcos = -sin_p * svec
+    gs = a[:, s1:s2]
+    gc = a[:, s2:s2 + 3 * F]
+    cols = []
+    for k in range(3):
+        gk = a[:, k:k + 1]
+        gk = gk + jnp.sum((gs * dsin + gc * dcos) * masks[k], axis=-1, keepdims=True)
+        cols.append(gk)
+    return jnp.concatenate(cols + [jnp.zeros((b, LANE - 3), jnp.float32)], axis=-1)
 
 
 # --------------------------------------------------------------- forward
@@ -274,6 +308,268 @@ def _fwd_kernel(spec: ChainSpec, *refs):
             )
         else:
             ty_ref[:] = t.astype(jnp.bfloat16)
+
+
+# ------------------------------------------------- adjoint (reverse-mode)
+
+def _adj_sweep(spec: ChainSpec, wl, zs, b, s_store=None):
+    """In-kernel reverse sweep: adj = d y[:, c] / d chain-input [B, P0] f32.
+
+    zs: the stored pre-activations z_0..z_{L-2} (bf16 values). When
+    s_store is a list, fills the post-skip h-part s_l rows (what
+    multiplies df(z_{l-1})) at s_store[l-1] — the outer backward's
+    residuals."""
+    L = spec.n_layers
+    c = spec.tangent_out_channel
+    P0 = spec.in_dims[0]
+    _, df, _ = _act_triple(spec)
+    dl = spec.out_dims[-1]
+    colv = jax.lax.broadcasted_iota(jnp.int32, (b, dl), 1)
+    v = (colv == c).astype(jnp.float32)
+    adj = jnp.zeros((b, P0), jnp.float32)
+    for l in reversed(range(L)):
+        s = jax.lax.dot_general(
+            v.astype(jnp.bfloat16), wl[l],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )  # [B, Din_l]
+        if l in spec.skip:
+            hw = spec.in_dims[l] - P0
+            adj = adj + s[:, hw:] * _SKIP_SCALE
+            s = s[:, :hw] * _SKIP_SCALE
+        if l == 0:
+            adj = adj + s
+        else:
+            if s_store is not None:
+                s_store[l - 1] = s
+            v = s * df(zs[l - 1])
+    return adj
+
+
+def _fwd_adj_kernel(spec: ChainSpec, *refs):
+    """Forward + one reverse sweep: y and d y[:, c]/d input in one kernel.
+
+    2 matmuls/layer (primal z + adjoint s) vs 4 for the 3-tangent JVP
+    variant; z's stay in VMEM scratch for the sweep."""
+    L = spec.n_layers
+    p = 0
+    x_ref = refs[p]; p += 1
+    ws = refs[p:p + L]; bs = refs[p + L:p + 2 * L]; p += 2 * L
+    y_ref = refs[p]; p += 1
+    a_ref = refs[p]  # geo (sdf_split) | adj [B, P0] (plain)
+
+    f, df, _ = _act_triple(spec)
+    enc = spec.enc is not None
+    if enc:
+        x0, _, sin_p, cos_p = _enc_fwd(spec, x_ref[:], want_t0=False)
+    else:
+        x0 = x_ref[:]
+    wl = [ws[l][:] for l in range(L)]
+
+    h = x0
+    zs = []
+    for l in range(L):
+        if l in spec.skip:
+            h = (jnp.concatenate([h, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+        z = jnp.dot(h, wl[l], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT) + bs[l][:]
+        if l < L - 1:
+            zs.append(z.astype(jnp.bfloat16))
+            h = f(z).astype(jnp.bfloat16)
+        else:
+            h = z  # last layer f32
+
+    adj = _adj_sweep(spec, wl, zs, h.shape[0])
+
+    if spec.sdf_split:
+        ch = spec.tangent_out_channel
+        b = h.shape[0]
+        grad3 = _enc_jt(spec, sin_p, cos_p, adj)[:, :3] if enc else adj[:, :3]
+        y_ref[:] = jnp.concatenate(
+            [h[:, ch:ch + 1], grad3, jnp.zeros((b, LANE - 4), jnp.float32)], axis=-1
+        )
+        a_ref[:] = h[:, 1:1 + a_ref.shape[1]].astype(jnp.bfloat16)
+        return
+    y_ref[:] = h.astype(jnp.bfloat16)
+    a_ref[:] = adj
+
+
+def _bwd_adj_kernel(spec: ChainSpec, *refs):
+    """Hand-derived backward of (y, adj) — reverse-over-reverse.
+
+    With Phi = <gy, y> + <ga, adj> and the adjoint chain
+    v_{L-1} = e_c, s_l = v_l W_l^T (skip-split), v_{l-1} = s_l * df(z_{l-1}):
+
+      d Phi/d W_l = hin_l^T gz_l  +  qin_l^T v_l
+      d Phi/d b_l = sum_B gz_l
+
+    where the ga-forward chain is qin_0 = ga, m_l = qin_l @ W_l,
+    qin_{l+1} = m_l * df(z_l) (ga re-injected at skips like x0), and the
+    standard cotangent sweep gz carries an extra act'' injection
+    e_l = m_l * s_{l+1} * act''(z_l) — the second-order term the adjoint
+    output induces. In enc mode ga = sum_k g3_k t0_k and gx picks up the
+    encoding-Hessian term g3_k <adj, enc''_k> (enc'' = -s^2 enc)."""
+    L = spec.n_layers
+    enc = spec.enc is not None
+    p = 0
+    x_ref = refs[p]; p += 1
+    gy_ref = refs[p]; p += 1
+    ga_ref = refs[p]; p += 1  # geo cotangent (sdf_split) | adj cotangent
+    ws = refs[p:p + L]; bs = refs[p + L:p + 2 * L]; p += 2 * L
+    gx_ref = refs[p]; p += 1
+    gw_refs = refs[p:p + L]; gb_refs = refs[p + L:p + 2 * L]
+
+    f, df, ddf = _act_triple(spec)
+    first = pl.program_id(0) == 0
+    P0 = spec.in_dims[0]
+    c = spec.tangent_out_channel
+    DL = spec.out_dims[-1]
+
+    if enc:
+        x0, t0, sin_p, cos_p = _enc_fwd(spec, x_ref[:])
+    else:
+        x0 = x_ref[:]
+    wl = [ws[l][:] for l in range(L)]
+    b = x0.shape[0]
+
+    # ---- recompute primal (z values) and adjoint chain (s values + adj)
+    h = x0
+    zs = []
+    for l in range(L - 1):
+        if l in spec.skip:
+            h = (jnp.concatenate([h, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+        z = jnp.dot(h, wl[l], preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT) + bs[l][:]
+        zs.append(z.astype(jnp.bfloat16))
+        h = f(z).astype(jnp.bfloat16)
+    ss = [None] * max(L - 1, 0)
+    adj = _adj_sweep(spec, wl, zs, b, s_store=ss)
+
+    # ---- incoming cotangents (gy on y, ga on the adjoint/grad output)
+    if spec.sdf_split:
+        gsg = gy_ref[:]  # [B, LANE] f32: col 0 -> y_c, cols 1..3 -> grad3
+        ggeo = ga_ref[:].astype(jnp.float32)
+        gcols = ggeo.shape[1]
+        tail = DL - 1 - gcols
+        parts = [gsg[:, :1], ggeo]
+        if tail > 0:
+            parts.append(jnp.zeros((b, tail), jnp.float32))
+        gy = jnp.concatenate(parts, axis=-1)
+        g3 = gsg[:, 1:4]  # cotangent on the 3-dim position gradient
+        # transpose of grad3 = J_enc^T adj: cotangent on adj rides the
+        # encoding Jacobian rows (the basis tangents)
+        ga = sum(g3[:, k:k + 1] * t0[k].astype(jnp.float32) for k in range(3))
+    else:
+        gy = gy_ref[:].astype(jnp.float32)
+        g3 = None
+        ga = ga_ref[:].astype(jnp.float32)
+
+    # ---- ga-forward chain: qin_l, m_l; adjoint-path weight gradients and
+    # the act'' injections e_l
+    gwd = [None] * L
+    es = [None] * max(L - 1, 0)
+    q = ga
+    for l in range(L):
+        if l in spec.skip:
+            qin = (jnp.concatenate([q, ga], axis=-1) * _SKIP_SCALE)
+        else:
+            qin = q
+        if l == L - 1:
+            colv = jax.lax.broadcasted_iota(jnp.int32, (b, DL), 1)
+            v_l = (colv == c).astype(jnp.float32)
+        else:
+            v_l = ss[l].astype(jnp.float32) * df(zs[l])
+        gwd[l] = jax.lax.dot_general(
+            qin.astype(jnp.bfloat16), v_l.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        if l < L - 1:
+            m = jnp.dot(qin.astype(jnp.bfloat16), wl[l],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+            if ddf is not None:
+                es[l] = m * ss[l].astype(jnp.float32) * ddf(zs[l])
+            q = m * df(zs[l])
+
+    def layer_input(l):
+        if l == 0:
+            hin = x0
+        else:
+            hin = f(zs[l - 1].astype(jnp.float32)).astype(jnp.bfloat16)
+        if l in spec.skip:
+            hin = (jnp.concatenate([hin, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
+        return hin
+
+    # ---- standard reverse sweep with the e_l injections
+    gx0 = jnp.zeros((b, P0), jnp.float32)
+    gh = gy
+    for l in reversed(range(L)):
+        if l == L - 1:
+            gz = gh
+        else:
+            gz = gh * df(zs[l])
+            if es[l] is not None:
+                gz = gz + es[l]
+        gzb = gz.astype(jnp.bfloat16)
+        gw = jax.lax.dot_general(
+            layer_input(l), gzb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        ) + gwd[l]
+        gb = jnp.sum(gz, axis=0, keepdims=True)
+        gw_ref, gb_ref = gw_refs[l], gb_refs[l]
+
+        @pl.when(first)
+        def _():
+            gw_ref[:] = gw
+            gb_ref[:] = gb
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            gw_ref[:] = gw_ref[:] + gw
+            gb_ref[:] = gb_ref[:] + gb
+
+        ghp = jax.lax.dot_general(
+            gzb, wl[l], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+        if l in spec.skip:
+            hw = spec.in_dims[l] - P0
+            gh = ghp[:, :hw] * _SKIP_SCALE
+            gx0 = gx0 + ghp[:, hw:] * _SKIP_SCALE
+        else:
+            gh = ghp
+
+    ghin = gh + gx0
+    if enc:
+        gx = _enc_jt(spec, sin_p, cos_p, ghin)
+        if g3 is not None:
+            # encoding-Hessian term of the grad3 output: enc'' is diagonal
+            # per coordinate (d2sin/d2cos), weighted by the adjoint
+            F, _, _ = spec.enc
+            svec, masks = _enc_consts(spec)
+            s1, s2 = 3, 3 + 3 * F
+            d2sin = -sin_p * svec * svec
+            d2cos = -cos_p * svec * svec
+            a_s = adj[:, s1:s2]
+            a_c = adj[:, s2:s2 + 3 * F]
+            sec = jnp.concatenate(
+                [
+                    g3[:, k:k + 1]
+                    * jnp.sum((a_s * d2sin + a_c * d2cos) * masks[k], axis=-1, keepdims=True)
+                    for k in range(3)
+                ]
+                + [jnp.zeros((b, LANE - 3), jnp.float32)],
+                axis=-1,
+            )
+            gx = gx + sec
+        gx_ref[:] = gx
+    else:
+        gx_ref[:] = ghin.astype(gx_ref.dtype)
 
 
 # -------------------------------------------------------------- backward
@@ -598,6 +894,94 @@ def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
     return chain
 
 
+@functools.lru_cache(maxsize=None)
+def _build_adj_chain(spec: ChainSpec, n_total: int, interpret: bool):
+    """custom_vjp fused adjoint chain over padded arrays.
+
+    chain(xp, wps, bps) -> (y, a): sdf_split mode emits (sdf+grad [N, LANE]
+    f32, geo [N, G] bf16) like the JVP split; plain mode emits
+    (y [N, DL] bf16, adj [N, P0] f32 = d y[:, c]/d input)."""
+    L, B = spec.n_layers, spec.block
+    assert n_total % B == 0
+    grid = (n_total // B,)
+    P0, DL = spec.in_dims[0], spec.out_dims[-1]
+
+    enc = spec.enc is not None
+    split = spec.sdf_split
+    w_specs = [_const_spec((din, dout)) for din, dout in zip(spec.in_dims, spec.out_dims)]
+    b_specs = [_const_spec((1, dout)) for dout in spec.out_dims]
+    xw = LANE if enc else P0
+    x_spec = pl.BlockSpec((B, xw), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if split:
+        y_spec = pl.BlockSpec((B, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((n_total, LANE), jnp.float32)
+        a_spec = pl.BlockSpec((B, spec.geo_width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((n_total, spec.geo_width), jnp.bfloat16)
+    else:
+        y_spec = pl.BlockSpec((B, DL), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        y_shape = jax.ShapeDtypeStruct((n_total, DL), jnp.bfloat16)
+        a_spec = pl.BlockSpec((B, P0), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        a_shape = jax.ShapeDtypeStruct((n_total, P0), jnp.float32)
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_adj_kernel, spec),
+        grid=grid,
+        in_specs=[x_spec] + w_specs + b_specs,
+        out_specs=[y_spec, a_spec],
+        out_shape=[y_shape, a_shape],
+        interpret=interpret,
+    )
+
+    gx_dt = jnp.float32 if enc else jnp.bfloat16
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_adj_kernel, spec),
+        grid=grid,
+        in_specs=[x_spec, y_spec, a_spec] + w_specs + b_specs,
+        out_specs=(
+            [pl.BlockSpec((B, xw), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+            + [_const_spec((din, dout)) for din, dout in zip(spec.in_dims, spec.out_dims)]
+            + [_const_spec((1, dout)) for dout in spec.out_dims]
+        ),
+        out_shape=(
+            [jax.ShapeDtypeStruct((n_total, xw), gx_dt)]
+            + [jax.ShapeDtypeStruct((din, dout), jnp.float32)
+               for din, dout in zip(spec.in_dims, spec.out_dims)]
+            + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in spec.out_dims]
+        ),
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def chain(xp, wps, bps):
+        wbs = [w.astype(jnp.bfloat16) for w in wps]
+        with jax.default_matmul_precision("bfloat16"):
+            outs = fwd_call(*([xp] + wbs + list(bps)))
+        return (outs[0], outs[1])
+
+    def chain_fwd(xp, wps, bps):
+        return chain(xp, wps, bps), (xp, wps, bps)
+
+    def chain_bwd(res, g):
+        xp, wps, bps = res
+        gy, ga = g
+        if split:
+            gy = gy.astype(jnp.float32)
+            ga = ga.astype(jnp.bfloat16)
+        else:
+            gy = gy.astype(jnp.bfloat16)
+            ga = ga.astype(jnp.float32)
+        args = [xp, gy, ga] + [w.astype(jnp.bfloat16) for w in wps] + list(bps)
+        with jax.default_matmul_precision("bfloat16"):
+            outs = bwd_call(*args)
+        gx = outs[0]
+        gws = tuple(outs[1:1 + L])
+        gbs = tuple(outs[1 + L:1 + 2 * L])
+        return gx, gws, gbs
+
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
+
+
 # ------------------------------------------------------------- public API
 
 def _chain_geometry(d_in: int, weights: Sequence[jnp.ndarray], skip: Tuple[int, ...]):
@@ -715,6 +1099,7 @@ def fused_sdf_chain(
     tangent_out_channel: int = 0,
     block: int = 0,
     interpret: Optional[bool] = None,
+    mode: str = "adjoint",
 ):
     """Fused NeRF-encoding + MLP chain + spatial gradient of one output.
 
@@ -723,6 +1108,11 @@ def fused_sdf_chain(
     layout, ops/encodings.py::nerf_encoding), its Jacobian (3 basis
     tangents) and Hessian diagonal all evaluate inside the kernel — raw
     positions in, sdf+features+gradient out, nothing else touches HBM.
+
+    mode: 'adjoint' (default) computes the gradient with one in-kernel
+    reverse sweep — ~2x fewer matmuls than 'jvp' (3 forward tangent
+    chains); both have hand-derived Pallas backwards and agree to bf16
+    noise (tests/test_fused_mlp.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -748,14 +1138,66 @@ def fused_sdf_chain(
     assert tangent_out_channel == 0, "sdf_split assumes the sdf channel is 0"
     spec = ChainSpec(
         in_dims=in_dims, out_dims=out_dims, skip=tuple(sorted(skip)),
-        activation=activation, beta=beta, n_tangents=3, block=block,
+        activation=activation, beta=beta,
+        n_tangents=0 if mode == "adjoint" else 3, block=block,
         tangent_out_channel=tangent_out_channel,
         enc=(num_frequencies, float(min_freq_exp), float(max_freq_exp)),
         sdf_split=True, geo_width=_rup(d_out - 1),
+        adjoint=mode == "adjoint",
     )
-    chain = _build_chain(spec, n_pad, interpret)
-    sg, geo = chain(xp, None, wps, bps)
+    if mode == "adjoint":
+        chain = _build_adj_chain(spec, n_pad, interpret)
+        sg, geo = chain(xp, wps, bps)
+    else:
+        chain = _build_chain(spec, n_pad, interpret)
+        sg, geo = chain(xp, None, wps, bps)
     return sg[:n, 0], geo[:n, : d_out - 1], sg[:n, 1:4]
+
+
+def fused_chain_adjoint(
+    x: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    *,
+    skip: Tuple[int, ...] = (),
+    activation: str = "SoftplusQuad",
+    beta: float = 100.0,
+    channel: int = 0,
+    block: int = 0,
+    interpret: Optional[bool] = None,
+):
+    """Fused chain + reverse-mode input gradient of one output channel.
+
+    x [N, D_in] -> (y [N, D_out] bf16, adj [N, D_in] f32 =
+    d y[:, channel]/d x). For externally-encoded inputs (e.g. the slot
+    grid), contract adj with the input tangents OUTSIDE:
+    grad_k = sum_j adj_j * tx[k, :, j] — one reverse sweep replaces the
+    3-tangent JVP chain."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not block:
+        block = DEFAULT_BLOCK
+    n, d_in = x.shape
+    d_out = weights[-1].shape[1]
+    in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
+    n_pad = _rup(n, block)
+    xp = jnp.zeros((n_pad, p0), jnp.bfloat16).at[:n, :d_in].set(x.astype(jnp.bfloat16))
+    wps = tuple(
+        _pad_weight(w, l, din, dout, d_in, hidden, skip)
+        for l, (w, din, dout) in enumerate(zip(weights, in_dims, out_dims))
+    )
+    bps = tuple(
+        jnp.zeros((1, dout), jnp.float32).at[0, : b.shape[0]].set(b.astype(jnp.float32))
+        for b, dout in zip(biases, out_dims)
+    )
+    spec = ChainSpec(
+        in_dims=in_dims, out_dims=out_dims, skip=tuple(sorted(skip)),
+        activation=activation, beta=beta, n_tangents=0, block=block,
+        tangent_out_channel=channel, adjoint=True,
+    )
+    chain = _build_adj_chain(spec, n_pad, interpret)
+    y, adj = chain(xp, wps, bps)
+    return y[:n, :d_out], adj[:n, :d_in]
 
 
 # ---------------------------------------------------- reference (testing)

@@ -28,7 +28,11 @@ def main():
     method = os.environ.get("PROF_METHOD", "mlp_raw_tpu")
     n_rays = int(os.environ.get("PROF_RAYS", "2048"))
     micro = int(os.environ.get("PROF_MICROBATCH", "1024"))
-    modalities = ("rgb", "infrared", "mono", "polarization", "multispectral")
+    modalities = tuple(
+        os.environ.get(
+            "PROF_MODS", "rgb,infrared,mono,polarization,multispectral"
+        ).split(",")
+    )
 
     cfg = method_configs()[method]
     jax.config.update(

@@ -114,10 +114,13 @@ def test_k0_grads_match():
         assert _rel(g1[2][l], g2[2][l]) < 0.05
 
 
-def test_fused_sdf_chain_grads_match_reference():
+@pytest.mark.parametrize("mode", ["jvp", "adjoint"])
+def test_fused_sdf_chain_grads_match_reference(mode):
     """jax.grad THROUGH fused_sdf_chain (the enc+sdf_split custom-vjp path
     the mlp_raw_tpu training step uses) vs XLA autodiff of
-    nerf_encoding + jvp + chain_reference (ADVICE r2 item 3)."""
+    nerf_encoding + jvp + chain_reference (ADVICE r2 item 3). The adjoint
+    mode additionally validates the hand-derived reverse-over-reverse
+    backward (q-chain weight terms + act'' injections + enc'' terms)."""
     from multimodalstudio_tpu.ops.encodings import nerf_encoding
     from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_sdf_chain
 
@@ -130,7 +133,7 @@ def test_fused_sdf_chain_grads_match_reference():
     def loss_fused(pos, ws, bs):
         sdf, geo, grad = fused_sdf_chain(
             pos, list(ws), list(bs), num_frequencies=F, min_freq_exp=mn,
-            max_freq_exp=mx, **kw,
+            max_freq_exp=mx, mode=mode, **kw,
         )
         return (
             jnp.sum(jnp.sin(sdf))
@@ -231,3 +234,43 @@ def test_sdf_gradients_fused_matches_jacfwd():
     np.testing.assert_allclose(np.asarray(sdf_f), np.asarray(sdf_r), atol=3e-2)
     assert _rel(grad_f, grad_r) < 0.05
     assert _rel(geo_f, geo_r) < 0.05
+
+
+def test_fused_chain_adjoint_matches_jvp():
+    """fused_chain_adjoint (one reverse sweep) vs fused_chain with basis
+    tangents: y identical, adj[:, j] == d y_c/d x_j, and outer gradients
+    through (y, adj) agree with XLA autodiff of the reference mirror."""
+    from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_chain_adjoint
+
+    ws, bs = _make_chain(jax.random.key(20), L=4, H=128, d_in=50, d_out=129)
+    x = jax.random.normal(jax.random.key(21), (64, 50)) * 0.5
+    kw = dict(skip=(2,), activation="SoftplusQuad", beta=100.0)
+
+    y_a, adj = fused_chain_adjoint(x, list(ws), list(bs), channel=0, **kw)
+    eye = jnp.eye(50)
+    tx = jnp.broadcast_to(eye[:3][:, None, :], (3, 64, 50))
+    y_j, ty = fused_chain(x, list(ws), list(bs), tangents=tx, **kw)
+    np.testing.assert_allclose(
+        np.asarray(y_a, np.float32), np.asarray(y_j, np.float32), atol=1e-5
+    )
+    assert _rel(adj[:, :3], ty[:, :, 0].T) < 0.05
+
+    def loss_adj(x, ws, bs):
+        y, adj = fused_chain_adjoint(x, list(ws), list(bs), channel=0, **kw)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32))) + jnp.sum(jnp.cos(2.0 * adj))
+
+    def loss_ref(x, ws, bs):
+        y = chain_reference(x, list(ws), list(bs), **kw)
+        adj = jax.grad(
+            lambda q: jnp.sum(
+                chain_reference(q, list(ws), list(bs), **kw)[:, 0].astype(jnp.float32)
+            )
+        )(x)
+        return jnp.sum(jnp.sin(y.astype(jnp.float32))) + jnp.sum(jnp.cos(2.0 * adj))
+
+    g1 = jax.grad(loss_adj, argnums=(0, 1, 2))(x, tuple(ws), tuple(bs))
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, tuple(ws), tuple(bs))
+    assert _rel(g1[0], g2[0]) < 0.08  # gx
+    for l in range(len(ws)):
+        assert _rel(g1[1][l], g2[1][l]) < 0.08, f"gW{l}"
+        assert _rel(g1[2][l], g2[2][l]) < 0.08, f"gb{l}"
