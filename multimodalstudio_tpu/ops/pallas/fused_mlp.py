@@ -342,7 +342,7 @@ def _adj_sweep(spec: ChainSpec, wl, zs, b, s_store=None):
             adj = adj + s
         else:
             if s_store is not None:
-                s_store[l - 1] = s
+                s_store[l - 1] = s.astype(jnp.bfloat16)  # residual: bf16
             v = s * df(zs[l - 1])
     return adj
 
@@ -418,7 +418,12 @@ def _bwd_adj_kernel(spec: ChainSpec, *refs):
     ga_ref = refs[p]; p += 1  # geo cotangent (sdf_split) | adj cotangent
     ws = refs[p:p + L]; bs = refs[p + L:p + 2 * L]; p += 2 * L
     gx_ref = refs[p]; p += 1
-    gw_refs = refs[p:p + L]; gb_refs = refs[p + L:p + 2 * L]
+    gw_refs = refs[p:p + L]; gb_refs = refs[p + L:p + 2 * L]; p += 2 * L
+    # residual stacks in explicit scratch (live SSA values blew the 16M
+    # scoped-VMEM stack at block 384)
+    z_scr = refs[p]; p += 1
+    s_scr = refs[p]; p += 1
+    e_scr = refs[p]
 
     f, df, ddf = _act_triple(spec)
     first = pl.program_id(0) == 0
@@ -433,18 +438,18 @@ def _bwd_adj_kernel(spec: ChainSpec, *refs):
     wl = [ws[l][:] for l in range(L)]
     b = x0.shape[0]
 
-    # ---- recompute primal (z values) and adjoint chain (s values + adj)
+    # ---- recompute primal (z stack) and adjoint chain (s stack + adj);
+    # stacks live in explicit VMEM scratch and are re-read at use sites
+    # (the list-of-SSA-values form blew the 16M scoped-VMEM stack)
     h = x0
-    zs = []
     for l in range(L - 1):
         if l in spec.skip:
             h = (jnp.concatenate([h, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
         z = jnp.dot(h, wl[l], preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.DEFAULT) + bs[l][:]
-        zs.append(z.astype(jnp.bfloat16))
+        z_scr[l] = z.astype(jnp.bfloat16)
         h = f(z).astype(jnp.bfloat16)
-    ss = [None] * max(L - 1, 0)
-    adj = _adj_sweep(spec, wl, zs, b, s_store=ss)
+    adj = _adj_sweep(spec, wl, z_scr, b, s_store=s_scr)
 
     # ---- incoming cotangents (gy on y, ga on the adjoint/grad output)
     if spec.sdf_split:
@@ -465,10 +470,10 @@ def _bwd_adj_kernel(spec: ChainSpec, *refs):
         g3 = None
         ga = ga_ref[:].astype(jnp.float32)
 
-    # ---- ga-forward chain: qin_l, m_l; adjoint-path weight gradients and
-    # the act'' injections e_l
-    gwd = [None] * L
-    es = [None] * max(L - 1, 0)
+    # ---- ga-forward chain: qin_l, m_l; adjoint-path weight gradients
+    # (accumulated straight into gw_refs — keeping L live [Din, D] values
+    # plus the residual stacks blew the 16M scoped-VMEM stack at block
+    # 384) and the act'' injections e_l (bf16 scratch, like the JVP u_stack)
     q = ga
     for l in range(L):
         if l in spec.skip:
@@ -479,26 +484,38 @@ def _bwd_adj_kernel(spec: ChainSpec, *refs):
             colv = jax.lax.broadcasted_iota(jnp.int32, (b, DL), 1)
             v_l = (colv == c).astype(jnp.float32)
         else:
-            v_l = ss[l].astype(jnp.float32) * df(zs[l])
-        gwd[l] = jax.lax.dot_general(
+            v_l = s_scr[l].astype(jnp.float32) * df(z_scr[l])
+        gwd = jax.lax.dot_general(
             qin.astype(jnp.bfloat16), v_l.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
         )
+        gw_ref = gw_refs[l]
+
+        @pl.when(first)
+        def _():
+            gw_ref[:] = gwd
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            gw_ref[:] = gw_ref[:] + gwd
+
         if l < L - 1:
             m = jnp.dot(qin.astype(jnp.bfloat16), wl[l],
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.DEFAULT)
             if ddf is not None:
-                es[l] = m * ss[l].astype(jnp.float32) * ddf(zs[l])
-            q = m * df(zs[l])
+                e_scr[l] = (m * s_scr[l].astype(jnp.float32) * ddf(z_scr[l])).astype(
+                    jnp.bfloat16
+                )
+            q = m * df(z_scr[l])
 
     def layer_input(l):
         if l == 0:
             hin = x0
         else:
-            hin = f(zs[l - 1].astype(jnp.float32)).astype(jnp.bfloat16)
+            hin = f(z_scr[l - 1].astype(jnp.float32)).astype(jnp.bfloat16)
         if l in spec.skip:
             hin = (jnp.concatenate([hin, x0], axis=-1) * _SKIP_SCALE).astype(jnp.bfloat16)
         return hin
@@ -510,26 +527,27 @@ def _bwd_adj_kernel(spec: ChainSpec, *refs):
         if l == L - 1:
             gz = gh
         else:
-            gz = gh * df(zs[l])
-            if es[l] is not None:
-                gz = gz + es[l]
+            gz = gh * df(z_scr[l])
+            if ddf is not None:
+                gz = gz + e_scr[l].astype(jnp.float32)
         gzb = gz.astype(jnp.bfloat16)
         gw = jax.lax.dot_general(
             layer_input(l), gzb, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.DEFAULT,
-        ) + gwd[l]
+        )
         gb = jnp.sum(gz, axis=0, keepdims=True)
         gw_ref, gb_ref = gw_refs[l], gb_refs[l]
+        # gw_ref already holds this grid step's adjoint-path term (set in
+        # the m-loop above) — always accumulate here
+        gw_ref[:] = gw_ref[:] + gw
 
         @pl.when(first)
         def _():
-            gw_ref[:] = gw
             gb_ref[:] = gb
 
         @pl.when(jnp.logical_not(first))
         def _():
-            gw_ref[:] = gw_ref[:] + gw
             gb_ref[:] = gb_ref[:] + gb
 
         ghp = jax.lax.dot_general(
@@ -933,6 +951,14 @@ def _build_adj_chain(spec: ChainSpec, n_total: int, interpret: bool):
     )
 
     gx_dt = jnp.float32 if enc else jnp.bfloat16
+    H = spec.out_dims[0] if L > 1 else DL
+    # residual stacks (z, s, act''-injection e) in explicit VMEM scratch —
+    # as live SSA values they blew the 16M scoped-VMEM stack at block 384
+    adj_scratch = [
+        pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16),
+        pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16),
+        pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16),
+    ]
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_adj_kernel, spec),
         grid=grid,
@@ -948,6 +974,7 @@ def _build_adj_chain(spec: ChainSpec, n_total: int, interpret: bool):
                for din, dout in zip(spec.in_dims, spec.out_dims)]
             + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in spec.out_dims]
         ),
+        scratch_shapes=adj_scratch,
         interpret=interpret,
     )
 

@@ -20,18 +20,33 @@ jax.config.update("jax_platforms", "cpu")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def count_eqns(jaxpr, prim_counts, depth=0):
+def _region(eqn):
+    """Innermost repo frame 'file:line' for an eqn, else '?'."""
+    try:
+        frames = eqn.source_info.traceback.frames
+    except Exception:
+        return "?"
+    for fr in frames:
+        fn = getattr(fr, "file_name", "")
+        if "multimodalstudio_tpu" in fn and "site-packages" not in fn:
+            short = fn.split("multimodalstudio_tpu/", 1)[-1]
+            return f"{short}:{fr.start_line}"
+    return "?"
+
+
+def count_eqns(jaxpr, prim_counts, region_counts, depth=0):
     n = 0
     for eqn in jaxpr.eqns:
         n += 1
         prim_counts[eqn.primitive.name] += 1
+        region_counts[_region(eqn)] += 1
         for v in eqn.params.values():
             if isinstance(v, jax.extend.core.ClosedJaxpr):
-                n += count_eqns(v.jaxpr, prim_counts, depth + 1)
+                n += count_eqns(v.jaxpr, prim_counts, region_counts, depth + 1)
             elif isinstance(v, (tuple, list)):
                 for item in v:
                     if isinstance(item, jax.extend.core.ClosedJaxpr):
-                        n += count_eqns(item.jaxpr, prim_counts, depth + 1)
+                        n += count_eqns(item.jaxpr, prim_counts, region_counts, depth + 1)
     return n
 
 
@@ -70,11 +85,15 @@ def main():
     trace_s = time.perf_counter() - t0
     jaxpr = traced.jaxpr
     prim_counts = collections.Counter()
-    total = count_eqns(jaxpr.jaxpr, prim_counts)
+    region_counts = collections.Counter()
+    total = count_eqns(jaxpr.jaxpr, prim_counts, region_counts)
     print(f"method={method} mods={len(mods)} rays={n_rays} micro={micro}")
     print(f"total eqns (incl. nested): {total}   trace time: {trace_s:.1f}s")
     for prim, c in prim_counts.most_common(25):
         print(f"  {prim:35s} {c}")
+    print("\n== by source region (innermost repo frame) ==")
+    for reg, c in region_counts.most_common(40):
+        print(f"  {c:6d}  {reg}")
 
 
 if __name__ == "__main__":
