@@ -89,12 +89,34 @@ class SlotGridSpec:
     hash_init_scale: float = 1e-4
     interpolation: str = "Smoothstep"  # Smoothstep | Linear
     layout: str = "vertex"  # vertex (exact C^0) | cell (1 copy/sample-level)
+    # Row-access strategy for the cell layout:
+    #   "copy"   — scalar-core row copies / scatter-RMWs (one per
+    #              sample-level). Bound by the v5e copy-issue rate.
+    #   "onehot" — gather = onehot(idx) @ table and scatter-add =
+    #              onehot(idx)^T @ u on the MXU, with the table split into
+    #              bf16 hi + lo halves (error ~2^-16 relative, vs exact
+    #              f32 copies). Turns the row access into dense matmul
+    #              work — the in-VMEM regime where one-hot WINS (the
+    #              docs/performance.md §3 one-hot-loses measurement was
+    #              an HBM-resident XLA one-hot).
+    #   "auto"   — onehot for the cell layout, copy for vertex.
+    gather: str = "auto"
 
     def __post_init__(self):
         if self.rows_per_level & (self.rows_per_level - 1):
             raise ValueError("rows_per_level must be a power of two")
         if self.layout not in ("vertex", "cell"):
             raise ValueError(f"unknown slot-grid layout {self.layout!r}")
+        if self.gather not in ("auto", "copy", "onehot"):
+            raise ValueError(f"unknown slot-grid gather {self.gather!r}")
+        if self.gather == "onehot" and self.layout != "cell":
+            raise ValueError("gather='onehot' requires layout='cell'")
+
+    @property
+    def resolved_gather(self) -> str:
+        if self.gather == "auto":
+            return "onehot" if self.layout == "cell" else "copy"
+        return self.gather
 
     @property
     def features_per_level(self) -> int:
@@ -126,12 +148,15 @@ class SlotGridSpec:
 
     @property
     def level_offsets(self) -> np.ndarray:
-        return np.concatenate([[0], np.cumsum(self.level_rows)[:-1]]).astype(np.int64)
+        # each level starts on an 8-row sublane-tile boundary so the
+        # kernels can take static per-level table slices
+        aligned = ((self.level_rows + 7) // 8) * 8
+        return np.concatenate([[0], np.cumsum(aligned)[:-1]]).astype(np.int64)
 
     @property
     def total_rows(self) -> int:
-        total = int(self.level_rows.sum())
-        return ((total + 7) // 8) * 8  # sublane-tile multiple
+        aligned = ((self.level_rows + 7) // 8) * 8
+        return int(aligned.sum())
 
     @property
     def out_dim(self) -> int:
@@ -286,14 +311,36 @@ def _slot_masks():
 # (w @ P), interpolation is one elementwise multiply per output, and the
 # slot reduction is the S matmul. No per-group vector work remains.
 
-def _fwd_kernel(levels, n_tang, want_comp, cell, *refs):
+def _hi_lo(x):
+    """Split f32 -> (bf16 hi, bf16 lo) with x ~= hi + lo to ~2^-16 relative.
+
+    Exact 0/1 matrices (one-hot, S, P) contract bf16 operands losslessly,
+    so hi/lo-splitting the VALUE operand of each MXU dot keeps the onehot
+    path numerically equivalent to the f32 copy path at 2x the matmuls."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_hl(x, m):
+    """x (f32) @ m (exact 0/1 bf16) via the hi/lo split, f32 accumulate."""
+    hi, lo = _hi_lo(x)
+    kw = dict(preferred_element_type=jnp.float32)
+    return jnp.dot(hi, m, **kw) + jnp.dot(lo, m, **kw)
+
+
+def _fwd_kernel(levels, n_tang, want_comp, cell, lv, onehot, *refs):
     q = 0
     idx_ref = refs[q]; q += 1
     w_ref = refs[q]; q += 1
     dw_ref = None
     if n_tang:
         dw_ref = refs[q]; q += 1
-    tbl_ref = refs[q]; q += 1
+    if onehot:
+        tblh_ref = refs[q]; q += 1
+        tbll_ref = refs[q]; q += 1
+    else:
+        tbl_ref = refs[q]; q += 1
     s_ref = refs[q]; q += 1
     p_ref = refs[q]; q += 1
     enc_ref = refs[q]; q += 1
@@ -304,7 +351,9 @@ def _fwd_kernel(levels, n_tang, want_comp, cell, *refs):
     if want_comp:
         comp_ref = refs[q]; q += 1
     comp_scr = refs[q]; q += 1
-    g_scr = refs[q]; q += 1
+    g_scr = None
+    if not onehot:
+        g_scr = refs[q]; q += 1
 
     b = idx_ref.shape[0]
     wc = levels * NSLOT
@@ -312,7 +361,21 @@ def _fwd_kernel(levels, n_tang, want_comp, cell, *refs):
     # when the comp residual is an output, gather straight into it
     cdst = comp_ref if want_comp else comp_scr
 
-    if cell:
+    if onehot:
+        # MXU gather: comp_l = onehot(idx_l) @ T_l, with T split bf16
+        # hi/lo (the one-hot matrix is exact in bf16). Replaces the
+        # scalar-core copy loop — dense matmul instead of per-row issue.
+        idx = idx_ref[:]
+        for l, (off, rl) in enumerate(lv):
+            rel = idx[:, l : l + 1] - off  # [b, 1]
+            col = jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
+            oh = (col == rel).astype(jnp.bfloat16)
+            th = tblh_ref[pl.ds(off, rl), :]
+            tl = tbll_ref[pl.ds(off, rl), :]
+            cdst[:, pl.ds(l * LANE, LANE)] = jnp.dot(
+                oh, th, preferred_element_type=jnp.float32
+            ) + jnp.dot(oh, tl, preferred_element_type=jnp.float32)
+    elif cell:
         # stage each 8-sample group through g_scr: Mosaic supports [1, 128]
         # stores at dynamic sublanes only at lane offset 0, and [8, 128]
         # moves at 8-aligned dynamic sublanes with static lane offsets
@@ -353,20 +416,29 @@ def _fwd_kernel(levels, n_tang, want_comp, cell, *refs):
     s_mat = s_ref[:]
     p_mat = p_ref[:]
     ew = levels * FEAT
-    wexp = jnp.dot(w_ref[:], p_mat, preferred_element_type=jnp.float32)
-    enc_ref[:] = jnp.dot(comp * wexp, s_mat, preferred_element_type=jnp.float32)
+    # S and P are exact 0/1 matrices; under the onehot path every dot runs
+    # bf16 with the value operand hi/lo-split (numerically ~f32-exact)
+    dot = _dot_hl if onehot else functools.partial(
+        jnp.dot, preferred_element_type=jnp.float32
+    )
+    wexp = dot(w_ref[:], p_mat)
+    enc_ref[:] = dot(comp * wexp, s_mat)
     for t in range(n_tang):
-        dwexp = jnp.dot(
-            dw_ref[:, pl.ds(t * wc, wc)], p_mat, preferred_element_type=jnp.float32
-        )
-        tenc_ref[:, pl.ds(t * ew, ew)] = jnp.dot(
-            comp * dwexp, s_mat, preferred_element_type=jnp.float32
-        )
+        dwexp = dot(dw_ref[:, pl.ds(t * wc, wc)], p_mat)
+        tenc_ref[:, pl.ds(t * ew, ew)] = dot(comp * dwexp, s_mat)
 
 
 # ------------------------------------------------------------ bwd kernel
 
-def _bwd_kernel(levels, n_tang, cell, *refs):
+def _dotg_hl(x, m, dn):
+    """dot_general with the f32 operand hi/lo-split against an exact-0/1
+    bf16 matrix m."""
+    hi, lo = _hi_lo(x)
+    kw = dict(dimension_numbers=dn, preferred_element_type=jnp.float32)
+    return jax.lax.dot_general(hi, m, **kw) + jax.lax.dot_general(lo, m, **kw)
+
+
+def _bwd_kernel(levels, n_tang, cell, lv, onehot, *refs):
     """Backward: no table access at all — the fwd's residual `comp`
     carries everything the weight gradients need, and the scatter values
     are pure functions of the cotangents and trilerp weights. Dense phase
@@ -392,7 +464,9 @@ def _bwd_kernel(levels, n_tang, cell, *refs):
     ddw_out = None
     if n_tang:
         ddw_out = refs[q]; q += 1
-    u_scr = refs[q]; q += 1
+    u_scr = None
+    if not onehot:
+        u_scr = refs[q]; q += 1
 
     b = idx_ref.shape[0]
     wc = levels * NSLOT
@@ -410,28 +484,41 @@ def _bwd_kernel(levels, n_tang, cell, *refs):
     p_mat = p_ref[:]
     s2 = s2_ref[:]
     comp = comp_ref[:]
-    gt = jax.lax.dot_general(
-        genc_ref[:], s_mat,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dw_out[:] = jnp.dot(comp * gt, s2, preferred_element_type=jnp.float32)
-    u = gt * jnp.dot(w_ref[:], p_mat, preferred_element_type=jnp.float32)
+    dn_t = (((1,), (1,)), ((), ()))
+    if onehot:
+        dot = _dot_hl
+        dotg = _dotg_hl
+    else:
+        dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
+        dotg = functools.partial(
+            jax.lax.dot_general, preferred_element_type=jnp.float32
+        )
+    gt = dotg(genc_ref[:], s_mat, dn_t)
+    dw_out[:] = dot(comp * gt, s2)
+    u = gt * dot(w_ref[:], p_mat)
     for t in range(n_tang):
-        gtk = jax.lax.dot_general(
-            gtenc_ref[:, pl.ds(t * ew, ew)], s_mat,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ddw_out[:, pl.ds(t * wc, wc)] = jnp.dot(
-            comp * gtk, s2, preferred_element_type=jnp.float32
-        )
-        u = u + gtk * jnp.dot(
-            dw_ref[:, pl.ds(t * wc, wc)], p_mat, preferred_element_type=jnp.float32
-        )
-    u_scr[:] = u
+        gtk = dotg(gtenc_ref[:, pl.ds(t * ew, ew)], s_mat, dn_t)
+        ddw_out[:, pl.ds(t * wc, wc)] = dot(comp * gtk, s2)
+        u = u + gtk * dot(dw_ref[:, pl.ds(t * wc, wc)], p_mat)
 
-    if cell:
+    if onehot:
+        # MXU scatter-add: d_tbl_l += onehot(idx_l)^T-contraction with U_l
+        # (dot_general over the sample dim — no transpose materialized)
+        idx = idx_ref[:]
+        dn0 = (((0,), (0,)), ((), ()))
+        for l, (off, rl) in enumerate(lv):
+            rel = idx[:, l : l + 1] - off
+            col = jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
+            oh = (col == rel).astype(jnp.bfloat16)
+            uh, ul = _hi_lo(u[:, l * LANE : (l + 1) * LANE])
+            d = jax.lax.dot_general(
+                oh, uh, dimension_numbers=dn0, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                oh, ul, dimension_numbers=dn0, preferred_element_type=jnp.float32
+            )
+            dtbl_ref[pl.ds(off, rl), :] = dtbl_ref[pl.ds(off, rl), :] + d
+    elif cell:
+        u_scr[:] = u
 
         def body(g, _):
             s0 = g * 8
@@ -447,6 +534,7 @@ def _bwd_kernel(levels, n_tang, cell, *refs):
         jax.lax.fori_loop(0, b // 8, body, 0)
     else:
         masks = _slot_masks()
+        u_scr[:] = u
 
         def body(g, _):
             s0 = g * 8
@@ -468,7 +556,8 @@ def _bwd_kernel(levels, n_tang, cell, *refs):
 
 @functools.lru_cache(maxsize=None)
 def _build_calls(
-    levels, n_tang, rows, block, n_total, interpret, cell, want_comp=False
+    levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot,
+    want_comp=False,
 ):
     w_cols = levels * NSLOT
     enc_w = levels * FEAT
@@ -492,7 +581,8 @@ def _build_calls(
     fwd_in = (
         [idx_spec, w_spec]
         + ([dw_spec] if n_tang else [])
-        + [tbl_spec, s_spec, p_spec]
+        + ([tbl_spec, tbl_spec] if onehot else [tbl_spec])
+        + [s_spec, p_spec]
     )
     fwd_out = (
         [enc_spec]
@@ -513,12 +603,13 @@ def _build_calls(
         )
     )
     # comp scratch (unused when comp is an output ref) + group staging tiles
-    fwd_scratch = [
-        pltpu.VMEM((block, levels * LANE), jnp.float32),
-        pltpu.VMEM((levels * (8 if cell else NSLOT * 8), LANE), jnp.float32),
-    ]
+    fwd_scratch = [pltpu.VMEM((block, levels * LANE), jnp.float32)] + (
+        []
+        if onehot
+        else [pltpu.VMEM((levels * (8 if cell else NSLOT * 8), LANE), jnp.float32)]
+    )
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, levels, n_tang, want_comp, cell),
+        functools.partial(_fwd_kernel, levels, n_tang, want_comp, cell, lv, onehot),
         grid=grid,
         in_specs=fwd_in,
         out_specs=fwd_out,
@@ -545,9 +636,11 @@ def _build_calls(
         if n_tang
         else []
     )
-    bwd_scratch = [pltpu.VMEM((block, levels * LANE), jnp.float32)]
+    bwd_scratch = (
+        [] if onehot else [pltpu.VMEM((block, levels * LANE), jnp.float32)]
+    )
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, levels, n_tang, cell),
+        functools.partial(_bwd_kernel, levels, n_tang, cell, lv, onehot),
         grid=grid,
         in_specs=bwd_in,
         out_specs=bwd_out,
@@ -559,10 +652,29 @@ def _build_calls(
 
 
 @functools.lru_cache(maxsize=None)
-def _lookup_fn(levels, rows, block, interpret, n_tang, cell):
+def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
     """custom_vjp op over padded arrays: (table, idx, w[, dw]) -> enc[, tenc]."""
-    s1, s2 = _sum_matrices(levels)
-    pm = _expand_matrix(levels)
+    mat_dt = jnp.bfloat16 if onehot else jnp.float32
+    s1, s2 = (m.astype(mat_dt) for m in _sum_matrices(levels))
+    pm = _expand_matrix(levels).astype(mat_dt)
+
+    # all onehot-path dots run bf16 operands (hi/lo-split values against
+    # exact 0/1 matrices); the Trainer's global f32 matmul precision would
+    # otherwise leak into kernel tracing and Mosaic rejects
+    # contract_precision<fp32> on bf16 (round-2 fused_mlp lesson)
+    def prec():
+        return (
+            jax.default_matmul_precision("bfloat16")
+            if onehot
+            else jax.default_matmul_precision("float32")
+        )
+
+    def tbl_args(table):
+        if not onehot:
+            return (table,)
+        hi = table.astype(jnp.bfloat16)
+        lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return (hi, lo)
 
     if n_tang:
 
@@ -570,9 +682,12 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell):
         def op(table, idx, w, dw):
             n_total = idx.shape[0]
             fwd_call, _ = _build_calls(
-                levels, n_tang, rows, block, n_total, interpret, cell
+                levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot
             )
-            enc, tenc = fwd_call(idx, w, dw, table, jnp.asarray(s1), jnp.asarray(pm))
+            with prec():
+                enc, tenc = fwd_call(
+                    idx, w, dw, *tbl_args(table), jnp.asarray(s1), jnp.asarray(pm)
+                )
             return enc, tenc
 
         def op_fwd(table, idx, w, dw):
@@ -580,11 +695,13 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell):
             # table in the residuals so the backward never re-gathers
             n_total = idx.shape[0]
             fwd_call, _ = _build_calls(
-                levels, n_tang, rows, block, n_total, interpret, cell, want_comp=True
+                levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot,
+                want_comp=True,
             )
-            enc, tenc, comp = fwd_call(
-                idx, w, dw, table, jnp.asarray(s1), jnp.asarray(pm)
-            )
+            with prec():
+                enc, tenc, comp = fwd_call(
+                    idx, w, dw, *tbl_args(table), jnp.asarray(s1), jnp.asarray(pm)
+                )
             return (enc, tenc), (comp, idx, w, dw)
 
         def op_bwd(res, g):
@@ -592,12 +709,13 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell):
             genc, gtenc = g
             n_total = idx.shape[0]
             _, bwd_call = _build_calls(
-                levels, n_tang, rows, block, n_total, interpret, cell
+                levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot
             )
-            d_table, d_w, d_dw = bwd_call(
-                idx, w, dw, genc.astype(jnp.float32), gtenc.astype(jnp.float32),
-                comp, jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pm),
-            )
+            with prec():
+                d_table, d_w, d_dw = bwd_call(
+                    idx, w, dw, genc.astype(jnp.float32), gtenc.astype(jnp.float32),
+                    comp, jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pm),
+                )
             d_idx = np.zeros(idx.shape, jax.dtypes.float0)
             return d_table, d_idx, d_w, d_dw
 
@@ -607,25 +725,37 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell):
     @jax.custom_vjp
     def op0(table, idx, w):
         n_total = idx.shape[0]
-        fwd_call, _ = _build_calls(levels, 0, rows, block, n_total, interpret, cell)
-        return fwd_call(idx, w, table, jnp.asarray(s1), jnp.asarray(pm))[0]
+        fwd_call, _ = _build_calls(
+            levels, 0, rows, block, n_total, interpret, cell, lv, onehot
+        )
+        with prec():
+            return fwd_call(
+                idx, w, *tbl_args(table), jnp.asarray(s1), jnp.asarray(pm)
+            )[0]
 
     def op0_fwd(table, idx, w):
         n_total = idx.shape[0]
         fwd_call, _ = _build_calls(
-            levels, 0, rows, block, n_total, interpret, cell, want_comp=True
+            levels, 0, rows, block, n_total, interpret, cell, lv, onehot,
+            want_comp=True,
         )
-        enc, comp = fwd_call(idx, w, table, jnp.asarray(s1), jnp.asarray(pm))
+        with prec():
+            enc, comp = fwd_call(
+                idx, w, *tbl_args(table), jnp.asarray(s1), jnp.asarray(pm)
+            )
         return enc, (comp, idx, w)
 
     def op0_bwd(res, genc):
         comp, idx, w = res
         n_total = idx.shape[0]
-        _, bwd_call = _build_calls(levels, 0, rows, block, n_total, interpret, cell)
-        d_table, d_w = bwd_call(
-            idx, w, genc.astype(jnp.float32), comp,
-            jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pm),
+        _, bwd_call = _build_calls(
+            levels, 0, rows, block, n_total, interpret, cell, lv, onehot
         )
+        with prec():
+            d_table, d_w = bwd_call(
+                idx, w, genc.astype(jnp.float32), comp,
+                jnp.asarray(s1), jnp.asarray(s2), jnp.asarray(pm),
+            )
         d_idx = np.zeros(idx.shape, jax.dtypes.float0)
         return d_table, d_idx, d_w
 
@@ -669,9 +799,14 @@ def slot_grid_lookup(
         w = jnp.pad(w, ((0, pad), (0, 0)))
         dw = jnp.pad(dw, ((0, pad), (0, 0)))
 
+    lv = tuple(
+        (int(o), int(r))
+        for o, r in zip(spec.level_offsets[:k], spec.level_rows[:k])
+    )
     op = _lookup_fn(
         k, spec.total_rows, block, interpret,
-        3 if with_tangents else 0, spec.layout == "cell",
+        3 if with_tangents else 0, spec.layout == "cell", lv,
+        spec.resolved_gather == "onehot",
     )
     if with_tangents:
         enc, tenc2 = op(table, idx, w, dw)

@@ -30,7 +30,7 @@ def _region(eqn):
         fn = getattr(fr, "file_name", "")
         if "multimodalstudio_tpu" in fn and "site-packages" not in fn:
             short = fn.split("multimodalstudio_tpu/", 1)[-1]
-            return f"{short}:{fr.start_line}"
+            return f"{short}:{fr.line_num}"
     return "?"
 
 

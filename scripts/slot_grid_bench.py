@@ -30,7 +30,9 @@ SPEC = SlotGridSpec(
     max_res=512,
     rows_per_level=int(os.environ.get("ROWS", "2048")),
     layout=os.environ.get("LAYOUT", "vertex"),
+    gather=os.environ.get("GATHER", "auto"),
 )
+BLOCK = int(os.environ.get("BLOCK", "0"))
 
 
 def slope(make_step, tag):
@@ -62,20 +64,20 @@ def slope(make_step, tag):
 
 
 def fwd_tang(x, table):
-    enc, tenc = slot_grid_lookup(table, x, SPEC, with_tangents=True)
+    enc, tenc = slot_grid_lookup(table, x, SPEC, with_tangents=True, block=BLOCK)
     nx = jnp.clip(x + enc[:, :3] * 1e-6, 0.01, 0.97)
     return nx, jnp.sum(enc[0]) + jnp.sum(tenc[0, 0])
 
 
 def fwd_plain(x, table):
-    enc = slot_grid_lookup(table, x, SPEC)
+    enc = slot_grid_lookup(table, x, SPEC, block=BLOCK)
     nx = jnp.clip(x + enc[:, :3] * 1e-6, 0.01, 0.97)
     return nx, jnp.sum(enc[0])
 
 
 def fwd_bwd(x, table):
     def loss(t, q):
-        enc, tenc = slot_grid_lookup(t, q, SPEC, with_tangents=True)
+        enc, tenc = slot_grid_lookup(t, q, SPEC, with_tangents=True, block=BLOCK)
         return jnp.sum(enc * enc) + jnp.sum(tenc * tenc) * 1e-6
 
     val, grads = jax.value_and_grad(loss, argnums=(0, 1))(table, x)

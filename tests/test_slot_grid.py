@@ -22,7 +22,12 @@ from multimodalstudio_tpu.ops.pallas.slot_grid import (
 
 SPEC = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64)
 SPEC_CELL = SlotGridSpec(
-    num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell"
+    num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell",
+    gather="copy",
+)
+SPEC_CELL_OH = SlotGridSpec(
+    num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell",
+    gather="onehot",
 )
 
 
@@ -65,7 +70,9 @@ def _rel(a, b):
 import pytest
 
 
-@pytest.mark.parametrize("spec", [SPEC, SPEC_CELL], ids=["vertex", "cell"])
+@pytest.mark.parametrize(
+    "spec", [SPEC, SPEC_CELL, SPEC_CELL_OH], ids=["vertex", "cell", "cell_onehot"]
+)
 class TestSlotGridLayouts:
     def test_forward_matches_reference(self, spec):
         table, x = _setup(spec=spec)
