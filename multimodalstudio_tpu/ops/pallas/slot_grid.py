@@ -181,6 +181,7 @@ def slot_geometry(
     3D-ref slices ~2.2x slower (measured, scripts/slot_gap3.py C-vs-D).
     """
     k = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
+    n = x.shape[0]
     res = spec.resolutions[:k]
     rows = spec.level_rows[:k]
     offs = spec.level_offsets[:k]
@@ -199,68 +200,74 @@ def slot_geometry(
         [[p & 1, (p >> 1) & 1, (p >> 2) & 1] for p in range(NSLOT)]
     ).astype(np.int32)
 
-    idx_cols, w_cols, dw_cols = [], [], []
-    for l in range(k):
-        r = float(res[l])
-        scaled = x * r
-        base = jnp.floor(scaled)
-        t = scaled - base
-        if spec.interpolation == "Smoothstep":
-            s = t * t * (3.0 - 2.0 * t)
-            ds = 6.0 * t * (1.0 - t) * r  # d s / d x (chain rule through x*r)
-        elif spec.interpolation == "Linear":
-            s = t
-            ds = jnp.full_like(t, r)
-        else:
-            raise ValueError(f"unknown interpolation {spec.interpolation}")
-        b = jnp.clip(base.astype(jnp.int32), 0, int(res[l]) - 1)
-        if cell:
-            # one row per cell; lane slot p = corner offset bits
-            if dense_level[l]:
-                rr = int(res[l])
-                row = b[:, 0] + b[:, 1] * rr + b[:, 2] * rr * rr
-            else:
-                bu = b.astype(jnp.uint32)
-                h = bu[:, 0] * _PRIMES[0]
-                h = jnp.bitwise_xor(h, bu[:, 1] * _PRIMES[1])
-                h = jnp.bitwise_xor(h, bu[:, 2] * _PRIMES[2])
-                row = (h & np.uint32(int(rows[l]) - 1)).astype(jnp.int32)
-            idx_cols.append((row + np.int32(offs[l])).astype(jnp.int32)[:, None])
-            d8 = jnp.broadcast_to(
-                pb_all[None, :, :], (x.shape[0], NSLOT, 3)
-            )  # [N, 8, 3]
-        else:
-            par = b & 1
-            gb = b >> 1
-            d8 = jnp.bitwise_xor(par[:, None, :], pb_all[None, :, :])  # [N, 8, 3]
-            g8 = gb[:, None, :] + (par[:, None, :] & d8)
-            if dense_level[l]:
-                gd = int(gdims[l])
-                row8 = g8[..., 0] + g8[..., 1] * gd + g8[..., 2] * gd * gd
-            else:
-                gu = g8.astype(jnp.uint32)
-                h = gu[..., 0] * _PRIMES[0]
-                h = jnp.bitwise_xor(h, gu[..., 1] * _PRIMES[1])
-                h = jnp.bitwise_xor(h, gu[..., 2] * _PRIMES[2])
-                row8 = (h & np.uint32(int(rows[l]) - 1)).astype(jnp.int32)
-            idx_cols.append((row8 + np.int32(offs[l])).astype(jnp.int32))  # [N, 8]
+    # LEVEL-VECTORIZED: one set of [N, K, ...] ops regardless of K (the
+    # per-level Python loop was ~30 eqns x K x callsite of the grid
+    # program's jaxpr — a large slice of both compile time and the
+    # XLA-side glue). Per-level constants become [K]-vectors; the
+    # dense-vs-hashed row formula is computed both ways and selected by
+    # the static dense_level mask.
+    resf = jnp.asarray(res.astype(np.float32))  # [K]
+    scaled = x[:, None, :] * resf[None, :, None]  # [N, K, 3]
+    base = jnp.floor(scaled)
+    t = scaled - base
+    if spec.interpolation == "Smoothstep":
+        s = t * t * (3.0 - 2.0 * t)
+        ds = 6.0 * t * (1.0 - t) * resf[None, :, None]  # chain rule through x*r
+    elif spec.interpolation == "Linear":
+        s = t
+        ds = jnp.broadcast_to(resf[None, :, None], t.shape)
+    else:
+        raise ValueError(f"unknown interpolation {spec.interpolation}")
+    b = jnp.clip(
+        base.astype(jnp.int32), 0, jnp.asarray((res - 1).astype(np.int32))[None, :, None]
+    )  # [N, K, 3]
+    hash_mask = jnp.asarray((rows - 1).astype(np.uint32))  # [K]
+    dense_sel = jnp.asarray(dense_level)  # [K] bool
 
-        df = d8.astype(x.dtype)
-        wa = df * s[:, None, :] + (1.0 - df) * (1.0 - s[:, None, :])  # [N, 8, 3]
-        dwa = (2.0 * df - 1.0) * ds[:, None, :]
-        w_cols.append(wa[..., 0] * wa[..., 1] * wa[..., 2])  # [N, 8]
-        dw_cols.append(
-            (
-                dwa[..., 0] * wa[..., 1] * wa[..., 2],
-                wa[..., 0] * dwa[..., 1] * wa[..., 2],
-                wa[..., 0] * wa[..., 1] * dwa[..., 2],
-            )
+    def _hash(coord):  # coord [..., K, 3] uint32 -> [..., K]
+        h = coord[..., 0] * _PRIMES[0]
+        h = jnp.bitwise_xor(h, coord[..., 1] * _PRIMES[1])
+        h = jnp.bitwise_xor(h, coord[..., 2] * _PRIMES[2])
+        return h
+
+    if cell:
+        # one row per cell; lane slot p = corner offset bits
+        rr = jnp.asarray(res.astype(np.int32))  # [K]
+        row_dense = b[..., 0] + (b[..., 1] + b[..., 2] * rr[None, :]) * rr[None, :]
+        row_hash = (_hash(b.astype(jnp.uint32)) & hash_mask[None, :]).astype(jnp.int32)
+        row = jnp.where(dense_sel[None, :], row_dense, row_hash)
+        idx = row + jnp.asarray(offs.astype(np.int32))[None, :]  # [N, K]
+        d8 = jnp.broadcast_to(pb_all[None, None], (n, k, NSLOT, 3))  # [N, K, 8, 3]
+    else:
+        par = b & 1
+        gb = b >> 1
+        d8 = jnp.bitwise_xor(par[:, :, None, :], pb_all[None, None])  # [N, K, 8, 3]
+        g8 = gb[:, :, None, :] + (par[:, :, None, :] & d8)
+        gd = jnp.asarray(gdims.astype(np.int32))  # [K]
+        row_dense = (
+            g8[..., 0] + (g8[..., 1] + g8[..., 2] * gd[None, :, None]) * gd[None, :, None]
+        )  # [N, K, 8]
+        row_hash = (
+            _hash(g8.astype(jnp.uint32)) & hash_mask[None, :, None]
+        ).astype(jnp.int32)
+        row8 = jnp.where(dense_sel[None, :, None], row_dense, row_hash)
+        idx = (row8 + jnp.asarray(offs.astype(np.int32))[None, :, None]).reshape(
+            n, k * NSLOT
         )
-    idx = jnp.concatenate(idx_cols, axis=-1)  # [N, K*8] (vertex) | [N, K] (cell)
-    w = jnp.concatenate(w_cols, axis=-1)
-    # t-major column blocks: col t*(K*8) + c
+
+    df = d8.astype(x.dtype)  # [N, K, 8, 3]
+    s4 = s[:, :, None, :]
+    wa = df * s4 + (1.0 - df) * (1.0 - s4)  # [N, K, 8, 3]
+    dwa = (2.0 * df - 1.0) * ds[:, :, None, :]
+    w = (wa[..., 0] * wa[..., 1] * wa[..., 2]).reshape(n, k * NSLOT)
+    # t-major column blocks: col t*(K*8) + c with c = level*8 + slot
     dw = jnp.concatenate(
-        [cols[t] for t in range(3) for cols in dw_cols], axis=-1
+        [
+            (dwa[..., 0] * wa[..., 1] * wa[..., 2]).reshape(n, k * NSLOT),
+            (wa[..., 0] * dwa[..., 1] * wa[..., 2]).reshape(n, k * NSLOT),
+            (wa[..., 0] * wa[..., 1] * dwa[..., 2]).reshape(n, k * NSLOT),
+        ],
+        axis=-1,
     )  # [N, 3*K*8]
     return idx, w, dw
 
