@@ -40,6 +40,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Honor JAX_PLATFORMS in-process: the axon sitecustomize pins the platform
+# and ignores the env var, so `JAX_PLATFORMS=cpu` subprocess runs (tests,
+# metric sweeps on hosts without the TPU tunnel) would otherwise hang on
+# tunnel connect. Metric math is tiny — CPU is the right default there.
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def masked_psnr(pred, gt, mask):
     err = ((pred - gt) ** 2) * mask

@@ -55,13 +55,21 @@ def tiny_config(method="mlp_raw", mods=("rgb", "mono"), n_rays=48, iters=60, **d
         )
         model = dataclasses.replace(model, surface=surface, radiance=radiance)
     else:
-        # shrink the hash grid but keep the method's vjp_mode (grid_raw_tpu
-        # uses autodiff mode, required under forward-mode jacfwd gradients)
+        # shrink the grid encoding (HashGridSpec or SlotGridSpec) but keep
+        # the method's vjp_mode / layout / gather strategy
+        from multimodalstudio_tpu.ops.pallas.slot_grid import SlotGridSpec
+
+        def _shrink_enc(enc):
+            if isinstance(enc, SlotGridSpec):
+                return dataclasses.replace(
+                    enc, num_levels=4, min_res=4, max_res=32, rows_per_level=128
+                )
+            return dataclasses.replace(
+                enc, num_levels=4, max_res=64, log2_hashmap_size=10
+            )
+
         shrink = lambda g: g if g is None else dataclasses.replace(
-            g,
-            encoding=dataclasses.replace(
-                g.encoding, num_levels=4, max_res=64, log2_hashmap_size=10
-            ),
+            g, encoding=_shrink_enc(g.encoding)
         )
         model = dataclasses.replace(
             model,
