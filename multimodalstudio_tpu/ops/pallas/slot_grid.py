@@ -373,10 +373,13 @@ def _fwd_kernel(levels, n_tang, want_comp, cell, lv, onehot, *refs):
         # hi/lo (the one-hot matrix is exact in bf16). Replaces the
         # scalar-core copy loop — dense matmul instead of per-row issue.
         idx = idx_ref[:]
+        iotas = {
+            rl: jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
+            for rl in {rl for _, rl in lv}
+        }  # shared across levels (usually one distinct row budget)
         for l, (off, rl) in enumerate(lv):
             rel = idx[:, l : l + 1] - off  # [b, 1]
-            col = jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
-            oh = (col == rel).astype(jnp.bfloat16)
+            oh = (iotas[rl] == rel).astype(jnp.bfloat16)
             th = tblh_ref[pl.ds(off, rl), :]
             tl = tbll_ref[pl.ds(off, rl), :]
             cdst[:, pl.ds(l * LANE, LANE)] = jnp.dot(
@@ -513,10 +516,13 @@ def _bwd_kernel(levels, n_tang, cell, lv, onehot, *refs):
         # (dot_general over the sample dim — no transpose materialized)
         idx = idx_ref[:]
         dn0 = (((0,), (0,)), ((), ()))
+        iotas = {
+            rl: jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
+            for rl in {rl for _, rl in lv}
+        }
         for l, (off, rl) in enumerate(lv):
             rel = idx[:, l : l + 1] - off
-            col = jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
-            oh = (col == rel).astype(jnp.bfloat16)
+            oh = (iotas[rl] == rel).astype(jnp.bfloat16)
             uh, ul = _hi_lo(u[:, l * LANE : (l + 1) * LANE])
             d = jax.lax.dot_general(
                 oh, uh, dimension_numbers=dn0, preferred_element_type=jnp.float32
