@@ -406,7 +406,14 @@ def _grid_raw_tpu() -> TrainerConfig:
             ),
         ),
     )
-    model = dc.replace(base.model, surface=surface, radiance=radiance)
+    # field-level remat OFF (same finding as mlp_raw_tpu): the r3 profiler
+    # trace (prof_grid_raw_tpu_512_512) shows remat re-running the slot-grid
+    # Pallas forwards under the loss grad — encoding.12 + rematted_
+    # computation.2 are byte-identical duplicates of encoding.11 / jvp__.2,
+    # ~16 ms of a 173 ms step — and the custom-vjp residuals (comp stacks)
+    # are designed to be stored, not recomputed. A 512-ray microbatch slice
+    # fits HBM without remat (~2 GB residuals incl. the 4-tap population).
+    model = dc.replace(base.model, surface=surface, radiance=radiance, remat=False)
     cfg = dc.replace(
         base,
         model=model,
