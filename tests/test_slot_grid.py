@@ -139,6 +139,64 @@ class TestSlotGridLayouts:
 
 class TestSlotGrid:
 
+    def test_production_spec_forward_and_grads(self):
+        """The flagship production geometry (6 levels, 16..512, 2048
+        rows/level, cell+onehot) against the gather mirror — exercises
+        hashed levels, level offsets and the bf16 hi/lo split at real
+        table sizes (tiny N keeps interpret mode fast)."""
+        spec = SlotGridSpec(
+            num_levels=6, min_res=16, max_res=512, rows_per_level=2048,
+            layout="cell",
+        )
+        assert spec.resolved_gather == "onehot"
+        table, x = _setup(n=24, key=11, spec=spec)
+        enc, tenc = slot_grid_lookup(table, x, spec, with_tangents=True, block=8)
+        ref = reference_lookup(table, x, spec)
+        np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=2e-4, rtol=2e-4)
+        e = jnp.zeros_like(x).at[:, 1].set(1.0)
+        _, t_ref = jax.jvp(lambda q: reference_lookup(table, q, spec), (x,), (e,))
+        assert _rel(tenc[1], t_ref) < 1e-3
+
+        def loss_kernel(t):
+            enc, tenc = slot_grid_lookup(t, x, spec, with_tangents=True, block=8)
+            return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(tenc))
+
+        def loss_ref(t):
+            enc = reference_lookup(t, x, spec)
+            tangs = [
+                jax.jvp(
+                    lambda q: reference_lookup(t, q, spec),
+                    (x,),
+                    (jnp.zeros_like(x).at[:, k].set(1.0),),
+                )[1]
+                for k in range(3)
+            ]
+            return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(jnp.stack(tangs)))
+
+        g1 = jax.grad(loss_kernel)(table)
+        g2 = jax.grad(loss_ref)(table)
+        # hi/lo-split one-hot scatter: ~2^-16 per value, accumulating to
+        # ~1e-3 relative over the summed table gradient at this scale
+        assert _rel(g1, g2) < 5e-3
+
+    def test_onehot_matches_copy(self):
+        """The one-hot MXU path is numerically equivalent to the exact f32
+        copy path (hi/lo split against exact 0/1 matrices)."""
+        table, x = _setup(n=53, key=13, spec=SPEC_CELL)
+        enc_c, tenc_c = slot_grid_lookup(table, x, SPEC_CELL, with_tangents=True)
+        enc_o, tenc_o = slot_grid_lookup(table, x, SPEC_CELL_OH, with_tangents=True)
+        assert _rel(enc_o, enc_c) < 3e-5
+        assert _rel(tenc_o, tenc_c) < 3e-5
+
+        def loss(t, q, spec):
+            enc, tenc = slot_grid_lookup(t, q, spec, with_tangents=True)
+            return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(tenc))
+
+        gc = jax.grad(loss, argnums=(0, 1))(table, x, SPEC_CELL)
+        go = jax.grad(loss, argnums=(0, 1))(table, x, SPEC_CELL_OH)
+        assert _rel(go[0], gc[0]) < 3e-4
+        assert _rel(go[1], gc[1]) < 3e-4
+
     def test_vertex_sharing_continuity(self):
         """The same logical vertex reached from neighbouring cells maps to
         the same (row, slot): enc is continuous across cell borders."""
