@@ -457,6 +457,7 @@ class MMSModel:
         queries — the same estimator the reference grid method trains with.
         """
         from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_chain_adjoint
+        from multimodalstudio_tpu.ops.pallas.slot_fused import fused_slot_sdf_chain
         from multimodalstudio_tpu.ops.pallas.slot_grid import slot_grid_lookup
 
         spec = self.spec.surface
@@ -471,53 +472,77 @@ class MMSModel:
         table = params["surface_field"]["field"]["grid_mlp"]["feature_grid"][
             "encoding"
         ]["table"]
-        enc_g, tenc_g = slot_grid_lookup(
-            table, rescaled, gspec.encoding, with_tangents=True
-        )
-        tenc_g = tenc_g / (2.0 * r)  # chain rule through the [-r, r] rescale
+        level_mask = None
         if gspec.coarse_to_fine and lvl is not None:
             fpl = gspec.encoding.features_per_level
             level_of_feature = jnp.arange(gspec.encoding.out_dim) // fpl
-            mask = (level_of_feature < lvl).astype(enc_g.dtype)
-            enc_g = enc_g * mask
-            tenc_g = tenc_g * mask
-
-        parts = [flat]
-        tparts = [jnp.broadcast_to(jnp.eye(3)[:, None, :], (3, flat.shape[0], 3))]
-        if fspec.use_position_encoding:
-            pspec = fspec.position_encoding
-            enc_fn = lambda p: pspec.apply(p)[:, 3:] if pspec.include_input else pspec.apply(p)
-            tangs = []
-            for k in range(3):
-                e = jnp.zeros_like(flat).at[:, k].set(1.0)
-                primal_pe, t = jax.jvp(enc_fn, (flat,), (e,))
-                tangs.append(t)
-            parts.append(primal_pe)
-            tparts.append(jnp.stack(tangs))
-        parts.append(enc_g)
-        tparts.append(tenc_g)
-        x_in = jnp.concatenate(parts, axis=-1)
-        tx = jnp.concatenate(tparts, axis=-1)
+            level_mask = (level_of_feature < lvl).astype(jnp.float32)
 
         ws, bs = effective_mlp_weights(
             params["surface_field"]["field"]["grid_mlp"]["mlp_head"], mspec
         )
-        # reverse-mode: one in-kernel adjoint sweep gives d sdf/d x_in;
-        # the 3 spatial tangents contract OUTSIDE (grad_k = <adj, tx_k>) —
-        # ~2x fewer matmuls than the 3-tangent JVP chain (the sdf output
-        # is scalar; tcnn fused-backward analog, mlp.py:223-244)
-        y, adj = fused_chain_adjoint(
-            x_in, ws, bs,
-            skip=mspec.skip_connections,
-            activation=mspec.activation,
-            beta=mspec.activation_beta,
-            channel=0,
-        )
-        grad = jnp.sum(adj[None] * tx.astype(jnp.float32), axis=-1)  # [3, N]
-        y = y.astype(jnp.float32)
-        sdf = y[:, 0].reshape(positions.shape[:-1])
-        geo = y[:, 1:].reshape(*positions.shape[:-1], -1)
-        gradients = grad.T.reshape(positions.shape)
+        pspec = fspec.position_encoding
+        if fspec.use_position_encoding and pspec.include_input:
+            # single fused kernel (tcnn NetworkWithInputEncoding,
+            # reference mlp.py:246-293): slot-grid gather + trilerp (+3
+            # spatial tangents), NeRF encoding (+Jacobian), the dense chain
+            # and one reverse-mode adjoint sweep all in VMEM — no enc/tenc
+            # HBM round-trip between the grid and the MLP
+            sdf_flat, geo_flat, grad = fused_slot_sdf_chain(
+                flat, rescaled, table, ws, bs, gspec.encoding,
+                num_frequencies=pspec.num_frequencies,
+                min_freq_exp=pspec.min_freq_exp,
+                max_freq_exp=pspec.max_freq_exp,
+                skip=mspec.skip_connections,
+                activation=mspec.activation,
+                beta=mspec.activation_beta,
+                level_mask=level_mask,
+                coord_scale=1.0 / (2.0 * r),
+            )
+            sdf = sdf_flat.reshape(positions.shape[:-1])
+            geo = geo_flat.reshape(*positions.shape[:-1], -1)
+            gradients = grad.reshape(positions.shape)
+        else:
+            # two-kernel composition (slot lookup -> concat -> adjoint
+            # chain) for PE-less / no-include-input geometries
+            enc_g, tenc_g = slot_grid_lookup(
+                table, rescaled, gspec.encoding, with_tangents=True
+            )
+            tenc_g = tenc_g / (2.0 * r)  # chain rule through the rescale
+            if level_mask is not None:
+                enc_g = enc_g * level_mask
+                tenc_g = tenc_g * level_mask
+
+            parts = [flat]
+            tparts = [jnp.broadcast_to(jnp.eye(3)[:, None, :], (3, flat.shape[0], 3))]
+            if fspec.use_position_encoding:
+                enc_fn = lambda p: pspec.apply(p)[:, 3:] if pspec.include_input else pspec.apply(p)
+                tangs = []
+                for k in range(3):
+                    e = jnp.zeros_like(flat).at[:, k].set(1.0)
+                    primal_pe, t = jax.jvp(enc_fn, (flat,), (e,))
+                    tangs.append(t)
+                parts.append(primal_pe)
+                tparts.append(jnp.stack(tangs))
+            parts.append(enc_g)
+            tparts.append(tenc_g)
+            x_in = jnp.concatenate(parts, axis=-1)
+            tx = jnp.concatenate(tparts, axis=-1)
+
+            # reverse-mode: one in-kernel adjoint sweep gives d sdf/d x_in;
+            # the 3 spatial tangents contract OUTSIDE (grad_k = <adj, tx_k>)
+            y, adj = fused_chain_adjoint(
+                x_in, ws, bs,
+                skip=mspec.skip_connections,
+                activation=mspec.activation,
+                beta=mspec.activation_beta,
+                channel=0,
+            )
+            grad = jnp.sum(adj[None] * tx.astype(jnp.float32), axis=-1)  # [3, N]
+            y = y.astype(jnp.float32)
+            sdf = y[:, 0].reshape(positions.shape[:-1])
+            geo = y[:, 1:].reshape(*positions.shape[:-1], -1)
+            gradients = grad.T.reshape(positions.shape)
 
         hessians = None
         if train and spec.compute_hessian:

@@ -1,0 +1,140 @@
+"""Fused slot-grid+MLP SDF kernel (ops/pallas/slot_fused) vs the two-kernel
+composition it replaces (slot_grid_lookup -> concat -> fused_chain_adjoint,
+the models/model.py::_slot_sdf_gradients math) — values and full gradients.
+
+Interpret mode on CPU (tests/conftest.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from multimodalstudio_tpu.fields.fields import NeRFEncodingSpec
+from multimodalstudio_tpu.ops.pallas.fused_mlp import fused_chain_adjoint
+from multimodalstudio_tpu.ops.pallas.slot_fused import fused_slot_sdf_chain
+from multimodalstudio_tpu.ops.pallas.slot_grid import (
+    SlotGridSpec,
+    make_table_init,
+    slot_grid_lookup,
+)
+
+GSPEC = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64,
+                     layout="cell")
+PE = NeRFEncodingSpec(num_frequencies=4, min_freq_exp=0.0, max_freq_exp=3.0,
+                      include_input=True)
+D_IN = 3 + 6 * PE.num_frequencies + GSPEC.out_dim
+HID, D_OUT = 128, 65
+R = 1.0
+
+
+def _params(key):
+    ks = jax.random.split(key, 7)
+    ws = [
+        jax.random.normal(ks[0], (D_IN, HID)) * 0.3,
+        jax.random.normal(ks[1], (HID, HID)) * 0.3,
+        jax.random.normal(ks[2], (HID, D_OUT)) * 0.3,
+    ]
+    bs = [
+        jax.random.normal(ks[3], (HID,)) * 0.1,
+        jax.random.normal(ks[4], (HID,)) * 0.1,
+        jax.random.normal(ks[5], (D_OUT,)) * 0.1,
+    ]
+    table = make_table_init(GSPEC)(ks[6]) * 1e4
+    pos = jax.random.uniform(jax.random.split(key)[0], (29, 3),
+                             minval=-0.9, maxval=0.9)
+    return ws, bs, table, pos
+
+
+def _mask(active=None):
+    if active is None:
+        return None
+    fpl = GSPEC.features_per_level
+    lof = jnp.arange(GSPEC.out_dim) // fpl
+    return (lof < active).astype(jnp.float32)
+
+
+def reference(ws, bs, table, pos, active=None):
+    """The production composition (models/model.py::_slot_sdf_gradients)."""
+    rescaled = jnp.clip((pos + R) / (2 * R), 0.0, 1.0 - 1e-6)
+    enc_g, tenc_g = slot_grid_lookup(table, rescaled, GSPEC, with_tangents=True)
+    tenc_g = tenc_g / (2 * R)
+    m = _mask(active)
+    if m is not None:
+        enc_g = enc_g * m
+        tenc_g = tenc_g * m
+    enc_fn = lambda p: PE.apply(p)[:, 3:]
+    tangs = []
+    for k in range(3):
+        e = jnp.zeros_like(pos).at[:, k].set(1.0)
+        pe, t = jax.jvp(enc_fn, (pos,), (e,))
+        tangs.append(t)
+    x_in = jnp.concatenate([pos, pe, enc_g], axis=-1)
+    tx = jnp.concatenate(
+        [jnp.broadcast_to(jnp.eye(3)[:, None, :], (3, pos.shape[0], 3)),
+         jnp.stack(tangs), tenc_g], axis=-1)
+    y, adj = fused_chain_adjoint(
+        x_in, ws, bs, skip=(), activation="SoftplusQuad", beta=100.0, channel=0,
+    )
+    grad = jnp.sum(adj[None] * tx.astype(jnp.float32), axis=-1)  # [3, N]
+    y = y.astype(jnp.float32)
+    return y[:, 0], y[:, 1:].astype(jnp.float32), grad.T
+
+
+def fused(ws, bs, table, pos, active=None):
+    rescaled = jnp.clip((pos + R) / (2 * R), 0.0, 1.0 - 1e-6)
+    sdf, geo, grad = fused_slot_sdf_chain(
+        pos, rescaled, table, ws, bs, GSPEC,
+        num_frequencies=PE.num_frequencies, min_freq_exp=PE.min_freq_exp,
+        max_freq_exp=PE.max_freq_exp, skip=(), activation="SoftplusQuad",
+        beta=100.0, level_mask=_mask(active), coord_scale=1.0 / (2 * R),
+        block=8,
+    )
+    return sdf, geo.astype(jnp.float32), grad
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64).ravel()
+    b = np.asarray(b, np.float64).ravel()
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+class TestFusedSlotSDF:
+    def test_forward_matches_composition(self):
+        ws, bs, table, pos = _params(jax.random.key(0))
+        s1, g1, d1 = fused(ws, bs, table, pos)
+        s2, g2, d2 = reference(ws, bs, table, pos)
+        assert _rel(s1, s2) < 3e-3, "sdf"
+        assert _rel(g1, g2) < 3e-2, "geo (bf16 noise)"
+        assert _rel(d1, d2) < 3e-3, "grad"
+
+    def test_forward_with_level_mask(self):
+        ws, bs, table, pos = _params(jax.random.key(2))
+        s1, g1, d1 = fused(ws, bs, table, pos, active=2)
+        s2, g2, d2 = reference(ws, bs, table, pos, active=2)
+        assert _rel(s1, s2) < 3e-3
+        assert _rel(d1, d2) < 3e-3
+
+    def test_grads_match_composition(self):
+        """Full training-style gradients: loss over (sdf, geo, grad) back to
+        table, positions, weights and biases."""
+        ws, bs, table, pos = _params(jax.random.key(4))
+
+        def loss(fn, ws, bs, table, pos):
+            s, g, d = fn(ws, bs, table, pos)
+            return (
+                jnp.sum(jnp.sin(3.0 * s))
+                + jnp.sum(jnp.cos(d) * 0.7)
+                + jnp.sum(jnp.sin(g[:, :32])) * 0.1
+            )
+
+        g1 = jax.grad(lambda *a: loss(fused, *a), argnums=(0, 1, 2, 3))(
+            ws, bs, table, pos
+        )
+        g2 = jax.grad(lambda *a: loss(reference, *a), argnums=(0, 1, 2, 3))(
+            ws, bs, table, pos
+        )
+        for i, name in enumerate(["d_ws", "d_bs", "d_table", "d_pos"]):
+            r = _rel(
+                jnp.concatenate([x.ravel() for x in jax.tree.leaves(g1[i])]),
+                jnp.concatenate([x.ravel() for x in jax.tree.leaves(g2[i])]),
+            )
+            assert r < 2e-2, f"{name}: rel {r}"
