@@ -50,6 +50,16 @@ _SKIP_SCALE = 1.0 / np.sqrt(2.0)
 # sweepable via MMS_FUSED_BLOCK.
 DEFAULT_BLOCK = int(os.environ.get("MMS_FUSED_BLOCK", "384"))
 
+# Mosaic's default scoped-VMEM limit is 16 MB — far below v5e's 128 MB
+# physical VMEM. The fused backwards' live temporaries legitimately need
+# more (24.4 MB at block 384 with the slot grid coupled in), so every
+# fused call raises the cap; actual usage stays well under the chip.
+VMEM_LIMIT_BYTES = int(os.environ.get("MMS_VMEM_LIMIT", str(96 * 1024 * 1024)))
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES)
+
 
 def _rup(n: int, m: int = LANE) -> int:
     return ((n + m - 1) // m) * m
@@ -836,6 +846,7 @@ def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
         in_specs=fwd_in,
         out_specs=fwd_out,
         out_shape=fwd_shapes,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
@@ -871,6 +882,7 @@ def _build_chain(spec: ChainSpec, n_total: int, interpret: bool):
         out_specs=bwd_out,
         out_shape=bwd_shapes,
         scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
@@ -947,6 +959,7 @@ def _build_adj_chain(spec: ChainSpec, n_total: int, interpret: bool):
         in_specs=[x_spec] + w_specs + b_specs,
         out_specs=[y_spec, a_spec],
         out_shape=[y_shape, a_shape],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
@@ -975,6 +988,7 @@ def _build_adj_chain(spec: ChainSpec, n_total: int, interpret: bool):
             + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in spec.out_dims]
         ),
         scratch_shapes=adj_scratch,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 

@@ -46,6 +46,7 @@ from multimodalstudio_tpu.ops.pallas.fused_mlp import (
     _act_triple,
     _adj_sweep,
     _chain_geometry,
+    _compiler_params,
     _const_spec,
     _enc_consts,
     _enc_fwd,
@@ -464,6 +465,7 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
             jax.ShapeDtypeStruct((n_total, G), jnp.bfloat16),
             jax.ShapeDtypeStruct((n_total, K * LANE), jnp.float32),
         ],
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
@@ -498,6 +500,7 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
         ]
         + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in inner.out_dims],
         scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 

@@ -66,6 +66,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from multimodalstudio_tpu.ops.pallas.fused_mlp import _compiler_params
+
 LANE = 128
 NSLOT = 8
 FEAT = LANE // NSLOT  # 16 features per vertex
@@ -628,6 +630,7 @@ def _build_calls(
         out_specs=fwd_out,
         out_shape=fwd_shapes,
         scratch_shapes=fwd_scratch,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
 
@@ -659,6 +662,7 @@ def _build_calls(
         out_specs=bwd_out,
         out_shape=bwd_shapes,
         scratch_shapes=bwd_scratch,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )
     return fwd_call, bwd_call
