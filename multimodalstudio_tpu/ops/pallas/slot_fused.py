@@ -646,3 +646,380 @@ def fused_slot_sdf_chain(
     op = _build_fused(spec, n_pad, interpret)
     sg, geo = op(posp, idx, w, dw, mask, table, wps, bps)
     return sg[:n, 0], geo[:n, : d_out - 1], sg[:n, 1:4]
+
+
+# --------------------------------------------------- value-only fused kernel
+#
+# Sampler SDF queries (stop-grad) and curvature hessian taps need only the
+# sdf VALUE — no spatial gradient, no geo feature. Routing them through the
+# two-kernel composition (slot_grid_lookup -> XLA trilerp glue -> chain)
+# cost ~115 ms of the 331 ms grid step at 2048x5 rays (r3 trace
+# prof_grid_raw_tpu_2048_512: 40 ms lookup fwd + 27 ms lookup bwd + ~50 ms
+# XLA mul/reduce_sum/concat glue). This op runs gather -> trilerp -> NeRF
+# encoding -> chain -> sdf in ONE kernel; its backward is one standard
+# reverse sweep (first-order only — the curvature loss consumes plain sdf
+# values) plus the slot scatter. Mirrors tcnn's NetworkWithInputEncoding
+# value path (reference src/field_components/mlp.py:246-293).
+
+
+def _value_fwd_kernel(spec: SlotChainSpec, *refs):
+    inner = spec.inner
+    L = inner.n_layers
+    K = spec.levels
+    kf = K * FEAT
+    pw = spec.pe_width
+    f, _, _ = _act_triple(inner)
+
+    p = 0
+    pos_ref = refs[p]; p += 1
+    idx_ref = refs[p]; p += 1
+    w_ref = refs[p]; p += 1
+    m_ref = refs[p]; p += 1
+    tblh_ref = refs[p]; p += 1
+    tbll_ref = refs[p]; p += 1
+    s_ref = refs[p]; p += 1
+    p_ref = refs[p]; p += 1
+    ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
+    sdf_ref = refs[p]; p += 1
+    comp_ref = refs[p]
+
+    b = pos_ref.shape[0]
+    comp_ref[:] = _gather_onehot(idx_ref[:], spec.lv, tblh_ref, tbll_ref, b)
+    comp = comp_ref[:]
+    wexp = _dot_hl(w_ref[:], p_ref[:])
+    encg = _dot_hl(comp * wexp, s_ref[:]) * m_ref[:]
+
+    h0pe, _, _, _ = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
+    pad = inner.in_dims[0] - pw - kf
+    x0 = jnp.concatenate(
+        [h0pe, encg.astype(jnp.bfloat16)]
+        + ([jnp.zeros((b, pad), jnp.bfloat16)] if pad else []),
+        axis=-1,
+    )
+    h = x0
+    for l in range(L):
+        if l in inner.skip:
+            h = (jnp.concatenate([h, x0], axis=-1) / np.sqrt(2.0)).astype(jnp.bfloat16)
+        z = jnp.dot(h, ws[l][:], preferred_element_type=jnp.float32) + bs[l][:]
+        h = f(z).astype(jnp.bfloat16) if l < L - 1 else z
+    sdf_ref[:] = jnp.concatenate(
+        [h[:, :1], jnp.zeros((b, LANE - 1), jnp.float32)], axis=-1
+    )
+
+
+def _value_bwd_kernel(spec: SlotChainSpec, *refs):
+    """First-order backward of sdf wrt (pos, table, w, W_l, b_l)."""
+    inner = spec.inner
+    L = inner.n_layers
+    K = spec.levels
+    kf = K * FEAT
+    pw = spec.pe_width
+    P0 = inner.in_dims[0]
+    DL = inner.out_dims[-1]
+    f, df, _ = _act_triple(inner)
+    first = pl.program_id(0) == 0
+
+    p = 0
+    pos_ref = refs[p]; p += 1
+    idx_ref = refs[p]; p += 1
+    w_ref = refs[p]; p += 1
+    m_ref = refs[p]; p += 1
+    comp_ref = refs[p]; p += 1
+    gs_ref = refs[p]; p += 1
+    s_ref = refs[p]; p += 1
+    s2_ref = refs[p]; p += 1
+    p_ref = refs[p]; p += 1
+    ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
+    gx_ref = refs[p]; p += 1
+    dw_out = refs[p]; p += 1
+    dtbl_ref = refs[p]; p += 1
+    gw_refs = refs[p : p + L]; gb_refs = refs[p + L : p + 2 * L]; p += 2 * L
+    z_scr = refs[p]
+
+    b = pos_ref.shape[0]
+    comp = comp_ref[:]
+    s_mat = s_ref[:]
+    p_mat = p_ref[:]
+    m = m_ref[:]
+    dn_t = (((1,), (1,)), ((), ()))
+
+    # rebuild x0 + primal chain (z residuals in scratch)
+    wexp = _dot_hl(w_ref[:], p_mat)
+    encg = _dot_hl(comp * wexp, s_mat) * m
+    h0pe, _, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
+    pad = P0 - pw - kf
+    x0 = jnp.concatenate(
+        [h0pe, encg.astype(jnp.bfloat16)]
+        + ([jnp.zeros((b, pad), jnp.bfloat16)] if pad else []),
+        axis=-1,
+    )
+    wl = [ws[l][:] for l in range(L)]
+    h = x0
+    for l in range(L - 1):
+        if l in inner.skip:
+            h = (jnp.concatenate([h, x0], axis=-1) / np.sqrt(2.0)).astype(jnp.bfloat16)
+        z = jnp.dot(h, wl[l], preferred_element_type=jnp.float32) + bs[l][:]
+        z_scr[l] = z.astype(jnp.bfloat16)
+        h = f(z).astype(jnp.bfloat16)
+
+    gsdf = gs_ref[:]  # [B, LANE] f32, col 0 = d loss / d sdf
+    gy = jnp.concatenate([gsdf[:, :1], jnp.zeros((b, DL - 1), jnp.float32)], axis=-1)
+
+    def layer_input(l):
+        hin = x0 if l == 0 else f(z_scr[l - 1].astype(jnp.float32)).astype(jnp.bfloat16)
+        if l in inner.skip:
+            hin = (jnp.concatenate([hin, x0], axis=-1) / np.sqrt(2.0)).astype(
+                jnp.bfloat16
+            )
+        return hin
+
+    gx0 = jnp.zeros((b, P0), jnp.float32)
+    gh = gy
+    for l in reversed(range(L)):
+        gz = gh if l == L - 1 else gh * df(z_scr[l])
+        gzb = gz.astype(jnp.bfloat16)
+        gw = jax.lax.dot_general(
+            layer_input(l), gzb, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        gb = jnp.sum(gz, axis=0, keepdims=True)
+        gw_ref, gb_ref = gw_refs[l], gb_refs[l]
+
+        @pl.when(first)
+        def _():
+            gw_ref[:] = gw
+            gb_ref[:] = gb
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            gw_ref[:] = gw_ref[:] + gw
+            gb_ref[:] = gb_ref[:] + gb
+
+        ghp = jax.lax.dot_general(
+            gzb, wl[l], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l in inner.skip:
+            hw = inner.in_dims[l] - P0
+            gh = ghp[:, :hw] / np.sqrt(2.0)
+            gx0 = gx0 + ghp[:, hw:] / np.sqrt(2.0)
+        else:
+            gh = ghp
+    ghin = gh + gx0  # [B, P0] cotangent on x0
+
+    g_enc = ghin[:, pw : pw + kf] * m
+    gt0 = _dotg_hl(g_enc, s_mat, dn_t)  # [B, K*128]
+    d_comp = gt0 * wexp
+    dw_out[:] = _dot_hl(comp * gt0, s2_ref[:])
+    _scatter_onehot(idx_ref[:], spec.lv, dtbl_ref, d_comp, b, first)
+    gx_ref[:] = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw])
+
+
+@functools.lru_cache(maxsize=None)
+def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
+    inner = spec.inner
+    L, B = inner.n_layers, inner.block
+    assert n_total % B == 0
+    grid = (n_total // B,)
+    K = spec.levels
+    kf = K * FEAT
+    wc = K * NSLOT
+
+    def blk(shape):
+        return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    pos_spec = blk((B, LANE))
+    idx_spec = blk((B, K))
+    w_spec = blk((B, wc))
+    m_spec = _const_spec((1, kf))
+    tbl_spec = _const_spec((spec.rows, LANE))
+    s_spec = _const_spec((K * LANE, kf))
+    s2_spec = _const_spec((K * LANE, wc))
+    p_spec = _const_spec((wc, K * LANE))
+    w_specs = [_const_spec((din, dout)) for din, dout in zip(inner.in_dims, inner.out_dims)]
+    b_specs = [_const_spec((1, dout)) for dout in inner.out_dims]
+    sdf_spec = blk((B, LANE))
+    comp_spec = blk((B, K * LANE))
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_value_fwd_kernel, spec),
+        grid=grid,
+        in_specs=[pos_spec, idx_spec, w_spec, m_spec, tbl_spec, tbl_spec,
+                  s_spec, p_spec] + w_specs + b_specs,
+        out_specs=[sdf_spec, comp_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_total, K * LANE), jnp.float32),
+        ],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+
+    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+    bwd_call = pl.pallas_call(
+        functools.partial(_value_bwd_kernel, spec),
+        grid=grid,
+        in_specs=[pos_spec, idx_spec, w_spec, m_spec, comp_spec, sdf_spec,
+                  s_spec, s2_spec, p_spec] + w_specs + b_specs,
+        out_specs=[
+            blk((B, LANE)),  # gx
+            blk((B, wc)),  # d_w
+            tbl_spec,  # d_table (accumulates over the grid)
+        ]
+        + [_const_spec((din, dout)) for din, dout in zip(inner.in_dims, inner.out_dims)]
+        + [_const_spec((1, dout)) for dout in inner.out_dims],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_total, wc), jnp.float32),
+            jax.ShapeDtypeStruct((spec.rows, LANE), jnp.float32),
+        ]
+        + [
+            jax.ShapeDtypeStruct((din, dout), jnp.float32)
+            for din, dout in zip(inner.in_dims, inner.out_dims)
+        ]
+        + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in inner.out_dims],
+        scratch_shapes=[pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16)],
+        compiler_params=_compiler_params(),
+        interpret=interpret,
+    )
+
+    s1m, s2m = (x.astype(jnp.bfloat16) for x in _sum_matrices(K))
+    pm = _expand_matrix(K).astype(jnp.bfloat16)
+
+    @jax.custom_vjp
+    def op(pos, idx, w, mask, table, wps, bps):
+        hi = table.astype(jnp.bfloat16)
+        lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wbs = [x.astype(jnp.bfloat16) for x in wps]
+        with jax.default_matmul_precision("bfloat16"):
+            sdf, _ = fwd_call(
+                pos, idx, w, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm),
+                *wbs, *bps,
+            )
+        return sdf
+
+    def op_fwd(pos, idx, w, mask, table, wps, bps):
+        hi = table.astype(jnp.bfloat16)
+        lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        wbs = [x.astype(jnp.bfloat16) for x in wps]
+        with jax.default_matmul_precision("bfloat16"):
+            sdf, comp = fwd_call(
+                pos, idx, w, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm),
+                *wbs, *bps,
+            )
+        return sdf, (pos, idx, w, mask, comp, wps, bps)
+
+    def op_bwd(res, gsdf):
+        pos, idx, w, mask, comp, wps, bps = res
+        wbs = [x.astype(jnp.bfloat16) for x in wps]
+        with jax.default_matmul_precision("bfloat16"):
+            outs = bwd_call(
+                pos, idx, w, mask, comp, gsdf.astype(jnp.float32),
+                jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
+                *wbs, *bps,
+            )
+        L = inner.n_layers
+        gx, d_w, d_tbl = outs[0], outs[1], outs[2]
+        gws = tuple(outs[3 : 3 + L])
+        gbs = tuple(outs[3 + L : 3 + 2 * L])
+        d_idx = np.zeros(idx.shape, jax.dtypes.float0)
+        d_mask = jnp.zeros((1, spec.levels * FEAT), jnp.float32)
+        return gx, d_idx, d_w, d_mask, d_tbl, gws, gbs
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_slot_sdf_value(
+    positions: jnp.ndarray,
+    grid_coords: jnp.ndarray,
+    table: jnp.ndarray,
+    weights: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    gspec: SlotGridSpec,
+    *,
+    num_frequencies: int,
+    min_freq_exp: float,
+    max_freq_exp: float,
+    skip: Tuple[int, ...] = (),
+    activation: str = "SoftplusQuad",
+    beta: float = 100.0,
+    level_mask: Optional[jnp.ndarray] = None,
+    num_levels: Optional[int] = None,
+    block: int = 0,
+    interpret: Optional[bool] = None,
+):
+    """Fused slot-grid + NeRF-encoding + chain SDF **value** evaluation.
+
+    Like fused_slot_sdf_chain but emits only sdf [N] f32: no spatial
+    tangents, no adjoint sweep, no geo output — the sampler/curvature-tap
+    workload. num_levels statically truncates the gather to the first k
+    levels (sampler coarse queries); truncated feature columns enter the
+    chain as zeros, matching slot_grid_lookup's padding. level_mask is the
+    traced coarse-to-fine mask over the ACTIVE k*F feature columns.
+    First-order gradients only (positions/table/w/weights/biases) — the
+    hessian-of-sdf path must use fused_slot_sdf_chain.
+    """
+    from multimodalstudio_tpu.ops.pallas.slot_grid import slot_geometry
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not block:
+        block = DEFAULT_BLOCK
+    n = positions.shape[0]
+    K = (
+        gspec.num_levels
+        if num_levels is None
+        else min(int(num_levels), gspec.num_levels)
+    )
+    kf = K * FEAT
+    pw = 3 + 6 * num_frequencies
+    d_in = pw + gspec.num_levels * FEAT  # full MLP input width (all levels)
+    in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
+
+    idx, w, _dw_unused = slot_geometry(grid_coords, gspec, K)  # dw is DCE'd
+
+    n_pad = _rup(n, block)
+    padn = n_pad - n
+    posp = (
+        jnp.zeros((n_pad, LANE), jnp.float32)
+        .at[:n, :3]
+        .set(positions.astype(jnp.float32))
+    )
+    if padn:
+        idx = jnp.pad(idx, ((0, padn), (0, 0)))
+        w = jnp.pad(w, ((0, padn), (0, 0)))
+    mask = (
+        jnp.ones((1, kf), jnp.float32)
+        if level_mask is None
+        else level_mask.astype(jnp.float32).reshape(1, kf)
+    )
+
+    inner = ChainSpec(
+        in_dims=in_dims, out_dims=out_dims, skip=tuple(sorted(skip)),
+        activation=activation, beta=beta, n_tangents=0, block=block,
+        tangent_out_channel=0,
+        enc=(num_frequencies, float(min_freq_exp), float(max_freq_exp)),
+    )
+    encspec = dataclasses.replace(inner, in_dims=(pw,) + in_dims[1:])
+    lv = tuple(
+        (int(o), int(r))
+        for o, r in zip(gspec.level_offsets[:K], gspec.level_rows[:K])
+    )
+    spec = SlotChainSpec(
+        inner=inner, encspec=encspec, levels=K, lv=lv,
+        rows=gspec.total_rows, pe_width=pw,
+    )
+
+    wps = tuple(
+        _pad_weight(wt, l, din, dout, d_in, hidden, skip)
+        for l, (wt, din, dout) in enumerate(zip(weights, in_dims, out_dims))
+    )
+    bps = tuple(
+        jnp.zeros((1, dout), jnp.float32).at[0, : bb.shape[0]].set(bb.astype(jnp.float32))
+        for bb, dout in zip(biases, out_dims)
+    )
+
+    op = _build_value(spec, n_pad, interpret)
+    sdf = op(posp, idx, w, mask, table, wps, bps)
+    return sdf[:n, 0]

@@ -138,3 +138,119 @@ class TestFusedSlotSDF:
                 jnp.concatenate([x.ravel() for x in jax.tree.leaves(g2[i])]),
             )
             assert r < 2e-2, f"{name}: rel {r}"
+
+
+# ------------------------------------------------- value-only kernel tests
+
+from multimodalstudio_tpu.ops.pallas.slot_fused import fused_slot_sdf_value
+
+
+def _softplus_quad(z, beta=100.0):
+    a = 2.0 / beta
+    return jnp.where(jnp.abs(z) < a, (z + a) * (z + a) * (0.25 / a), jnp.maximum(z, 0.0))
+
+
+def reference_value_f32(ws, bs, table, pos, active=None, k=None):
+    """slot_grid_lookup + pure-jnp f32 MLP (the flax sdf_only composition)."""
+    rescaled = jnp.clip((pos + R) / (2 * R), 0.0, 1.0 - 1e-6)
+    enc_g = slot_grid_lookup(table, rescaled, GSPEC, num_levels=k)
+    m = _mask(active)
+    if m is not None:
+        enc_g = enc_g * m
+    x = jnp.concatenate([PE.apply(pos), enc_g], axis=-1)
+    h = x
+    for l, (w, b) in enumerate(zip(ws, bs)):
+        z = h @ w + b
+        h = _softplus_quad(z) if l < len(ws) - 1 else z
+    return h[:, 0]
+
+
+def reference_value(ws, bs, table, pos, active=None, k=None):
+    """Same-precision composition (slot_grid_lookup -> fused_chain_adjoint):
+    identical bf16 matmul rounding as the fused value kernel, so gradient
+    comparisons aren't swamped by SoftplusQuad's tiny quadratic window
+    (|z| < 0.02) flipping derivative masks under f32-vs-bf16 z noise."""
+    rescaled = jnp.clip((pos + R) / (2 * R), 0.0, 1.0 - 1e-6)
+    enc_g = slot_grid_lookup(table, rescaled, GSPEC, num_levels=k)
+    m = _mask(active)
+    if m is not None:
+        enc_g = enc_g * m
+    x = jnp.concatenate([pos, PE.apply(pos)[:, 3:], enc_g], axis=-1)
+    y, _ = fused_chain_adjoint(
+        x, ws, bs, skip=(), activation="SoftplusQuad", beta=100.0, channel=0,
+    )
+    return y.astype(jnp.float32)[:, 0]
+
+
+def fused_value(ws, bs, table, pos, active=None, k=None):
+    rescaled = jnp.clip((pos + R) / (2 * R), 0.0, 1.0 - 1e-6)
+    mask = _mask(active)
+    if mask is not None and k is not None:
+        mask = mask[: k * GSPEC.features_per_level]
+    return fused_slot_sdf_value(
+        pos, rescaled, table, ws, bs, GSPEC,
+        num_frequencies=PE.num_frequencies, min_freq_exp=PE.min_freq_exp,
+        max_freq_exp=PE.max_freq_exp, skip=(), activation="SoftplusQuad",
+        beta=100.0, level_mask=mask, num_levels=k, block=8,
+    )
+
+
+class TestFusedSlotValue:
+    def test_forward_matches_composition(self):
+        ws, bs, table, pos = _params(jax.random.key(1))
+        s1 = fused_value(ws, bs, table, pos)
+        assert _rel(s1, reference_value_f32(ws, bs, table, pos)) < 6e-3
+        assert _rel(s1, reference_value(ws, bs, table, pos)) < 3e-3
+
+    def test_forward_level_truncation_and_mask(self):
+        ws, bs, table, pos = _params(jax.random.key(3))
+        s1 = fused_value(ws, bs, table, pos, active=2, k=2)
+        assert _rel(s1, reference_value_f32(ws, bs, table, pos, active=2, k=2)) < 6e-3
+        assert _rel(s1, reference_value(ws, bs, table, pos, active=2, k=2)) < 3e-3
+        # static truncation alone
+        s1 = fused_value(ws, bs, table, pos, k=1)
+        s2 = reference_value(ws, bs, table, pos, k=1)
+        assert _rel(s1, s2) < 3e-3
+
+    def test_grads_match_composition(self):
+        # cotangent fixed (loss linear in sdf): the kernel computes sdf in
+        # bf16 while the jnp reference is f32, so a nonlinear loss would
+        # amplify ~3e-3 value noise into the cotangents and swamp the
+        # comparison; a fixed random weighting tests the whole backward
+        # structure without that chaos
+        ws, bs, table, pos = _params(jax.random.key(5))
+        c = jax.random.normal(jax.random.key(7), (pos.shape[0],))
+
+        def loss(fn, ws, bs, table, pos):
+            return jnp.sum(c * fn(ws, bs, table, pos))
+
+        g1 = jax.grad(lambda *a: loss(fused_value, *a), argnums=(0, 1, 2, 3))(
+            ws, bs, table, pos
+        )
+        g2 = jax.grad(lambda *a: loss(reference_value, *a), argnums=(0, 1, 2, 3))(
+            ws, bs, table, pos
+        )
+        for i, name in enumerate(["d_ws", "d_bs", "d_table", "d_pos"]):
+            r = _rel(
+                jnp.concatenate([x.ravel() for x in jax.tree.leaves(g1[i])]),
+                jnp.concatenate([x.ravel() for x in jax.tree.leaves(g2[i])]),
+            )
+            assert r < 2e-2, f"{name}: rel {r}"
+
+    def test_grads_with_mask_and_truncation(self):
+        ws, bs, table, pos = _params(jax.random.key(6))
+
+        c = jax.random.normal(jax.random.key(8), (pos.shape[0],))
+
+        def loss(fn, ws, bs, table, pos):
+            return jnp.sum(c * fn(ws, bs, table, pos, active=2, k=2))
+
+        g1 = jax.grad(lambda *a: loss(fused_value, *a), argnums=(2, 3))(
+            ws, bs, table, pos
+        )
+        g2 = jax.grad(lambda *a: loss(reference_value, *a), argnums=(2, 3))(
+            ws, bs, table, pos
+        )
+        for i, name in enumerate(["d_table", "d_pos"]):
+            r = _rel(g1[i], g2[i])
+            assert r < 2e-2, f"{name}: rel {r}"
