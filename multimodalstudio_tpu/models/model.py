@@ -312,8 +312,6 @@ class MMSModel:
         mspec = fspec.field.mlp
         pspec = fspec.position_encoding
         flat = positions.reshape(-1, 3)
-        r = gspec.radius
-        rescaled = jnp.clip((flat + r) / (2.0 * r), 0.0, 1.0 - 1e-6)
         table = params["surface_field"]["field"]["grid_mlp"]["feature_grid"][
             "encoding"
         ]["table"]
@@ -328,7 +326,8 @@ class MMSModel:
             params["surface_field"]["field"]["grid_mlp"]["mlp_head"], mspec
         )
         sdf_flat = fused_slot_sdf_value(
-            flat, rescaled, table, ws, bs, enc,
+            flat, table, ws, bs, enc,
+            radius=gspec.radius,
             num_frequencies=pspec.num_frequencies,
             min_freq_exp=pspec.min_freq_exp,
             max_freq_exp=pspec.max_freq_exp,
@@ -553,7 +552,8 @@ class MMSModel:
             # and one reverse-mode adjoint sweep all in VMEM — no enc/tenc
             # HBM round-trip between the grid and the MLP
             sdf_flat, geo_flat, grad = fused_slot_sdf_chain(
-                flat, rescaled, table, ws, bs, gspec.encoding,
+                flat, table, ws, bs, gspec.encoding,
+                radius=r,
                 num_frequencies=pspec.num_frequencies,
                 min_freq_exp=pspec.min_freq_exp,
                 max_freq_exp=pspec.max_freq_exp,
@@ -561,7 +561,6 @@ class MMSModel:
                 activation=mspec.activation,
                 beta=mspec.activation_beta,
                 level_mask=level_mask,
-                coord_scale=1.0 / (2.0 * r),
             )
             sdf = sdf_flat.reshape(positions.shape[:-1])
             geo = geo_flat.reshape(*positions.shape[:-1], -1)

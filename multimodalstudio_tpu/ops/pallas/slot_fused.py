@@ -4,7 +4,8 @@ HashGrid encoding and FullyFusedMLP into one kernel for exactly this path).
 
 One pallas_call runs, for a block of samples, entirely in VMEM:
 
-  one-hot MXU slot-grid gather -> trilerp (+ its 3 spatial tangents)
+  slot geometry (hash rows + trilerp weights from raw positions)
+  -> one-hot MXU slot-grid gather -> trilerp (+ its 3 spatial tangents)
   -> NeRF frequency encoding (+ Jacobian) -> dense chain -> one
   reverse-mode adjoint sweep -> d sdf / d x.
 
@@ -14,12 +15,26 @@ round-trip of enc [N, K*F] + tenc [N, 3*K*F] + the XLA-side concat /
 tangent-contraction glue between them, and the backward fuses the chain's
 reverse-over-reverse with the slot scatter in one pass over the residuals.
 
-Differentiation contract (mirrors slot_grid.py): the op is linear in
-(table, w, dw) and nonlinear only through the chain; the custom VJP
-hand-computes (d_table, d_w, d_dw, d_positions, d_weights, d_biases), and
-the trilerp weights w(x), dw(x) remain plain XLA functions of x outside,
-so position gradients — including the second-order terms the grad-of-grad
-training objective needs — compose with XLA autodiff.
+GEOMETRY IS IN-KERNEL: per-level row indices and trilerp weights are
+computed from raw positions inside the kernel (SlotGeom), so the XLA-side
+slot_geometry() call and its idx [N, K] / w [N, K*8] / dw [N, 3*K*8]
+operands (plus the d_w / d_dw backward outputs) never touch HBM — each was
+lane-padded to >=128 lanes per sample. The backward hand-folds the trilerp
+weight derivatives into the position cotangent:
+
+  gpos_t = cs * gate_t * [ sum_c d_w_c * D_tc
+                           + cs * sum_k sum_c d_dw_kc * dD_kc/dx_t ]
+
+with cs = 1/(2*radius), gate the clip derivative of x = clip((pos+r)/2r),
+D_kc = dwa_k * prod_{u!=k} wa_u (the trilerp tangent factorization), and
+dD_kc/dx_t = ddwa_k * prod wa_u (t==k) or dwa_k * dwa_t * prod wa_u (t!=k)
+— exactly what XLA autodiff produced through the old w(x), dw(x) operands
+(verified by tests/test_slot_fused.py grad-vs-composition). The forward
+tangents carry no clip gate, matching the composition's tenc semantics.
+
+Differentiation contract: the op is linear in the table and nonlinear only
+through the trilerp weights and the chain; the custom VJP hand-computes
+(d_positions, d_table, d_weights, d_biases) in one backward kernel.
 
 Residuals: the composed rows `comp` [N, K*128] (the backward never touches
 the table), plus the raw kernel inputs. Numerics: all value operands of
@@ -67,6 +82,28 @@ from multimodalstudio_tpu.ops.pallas.slot_grid import (
 
 
 @dataclasses.dataclass(frozen=True)
+class SlotGeom:
+    """Static description of the in-kernel slot geometry (cell layout)."""
+
+    res: Tuple[int, ...]  # per-level resolution
+    dense: Tuple[bool, ...]  # per-level dense (collision-free) indexing
+    interp: str  # Smoothstep | Linear
+    radius: float  # grid half-extent: x = clip((pos + r) / 2r, 0, 1-1e-6)
+
+
+def _make_geom(gspec: SlotGridSpec, k: int, radius: float) -> SlotGeom:
+    if gspec.layout != "cell":
+        raise ValueError("fused slot kernels require layout='cell'")
+    res = [int(r) for r in gspec.resolutions[:k]]
+    return SlotGeom(
+        res=tuple(res),
+        dense=tuple(r ** 3 <= gspec.rows_per_level for r in res),
+        interp=gspec.interpolation,
+        radius=float(radius),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
 class SlotChainSpec:
     """Static geometry of the fused slot+chain kernel."""
 
@@ -76,18 +113,19 @@ class SlotChainSpec:
     lv: Tuple[Tuple[int, int], ...]  # (offset, rows) per level
     rows: int  # total table rows
     pe_width: int  # 3 + 6F
+    geom: SlotGeom  # in-kernel geometry
 
 
 def _gather_onehot(idx, lv, tblh_ref, tbll_ref, b):
-    """One-hot MXU gather: comp [B, K*128] f32."""
+    """One-hot MXU gather: comp [B, K*128] f32. idx columns are per-level
+    RELATIVE rows (in-kernel geometry emits them offset-free)."""
     iotas = {
         rl: jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
         for rl in {rl for _, rl in lv}
     }
     cols = []
     for l, (off, rl) in enumerate(lv):
-        rel = idx[:, l : l + 1] - off
-        oh = (iotas[rl] == rel).astype(jnp.bfloat16)
+        oh = (iotas[rl] == idx[:, l : l + 1]).astype(jnp.bfloat16)
         th = tblh_ref[pl.ds(off, rl), :]
         tl = tbll_ref[pl.ds(off, rl), :]
         cols.append(
@@ -98,7 +136,8 @@ def _gather_onehot(idx, lv, tblh_ref, tbll_ref, b):
 
 
 def _scatter_onehot(idx, lv, dtbl_ref, d_comp, b, first):
-    """MXU scatter-add of d_comp [B, K*128] into dtbl_ref [R, 128]."""
+    """MXU scatter-add of d_comp [B, K*128] into dtbl_ref [R, 128]
+    (idx per-level relative)."""
 
     @pl.when(first)
     def _():
@@ -110,8 +149,7 @@ def _scatter_onehot(idx, lv, dtbl_ref, d_comp, b, first):
         for rl in {rl for _, rl in lv}
     }
     for l, (off, rl) in enumerate(lv):
-        rel = idx[:, l : l + 1] - off
-        oh = (iotas[rl] == rel).astype(jnp.bfloat16)
+        oh = (iotas[rl] == idx[:, l : l + 1]).astype(jnp.bfloat16)
         uh, ul = _hi_lo(d_comp[:, l * LANE : (l + 1) * LANE])
         d = jax.lax.dot_general(
             oh, uh, dimension_numbers=dn0, preferred_element_type=jnp.float32
@@ -121,6 +159,119 @@ def _scatter_onehot(idx, lv, dtbl_ref, d_comp, b, first):
         dtbl_ref[pl.ds(off, rl), :] = dtbl_ref[pl.ds(off, rl), :] + d
 
 
+# ------------------------------------------------- in-kernel slot geometry
+#
+# Mirrors slot_grid.py::slot_geometry (cell layout) with all per-level
+# constants built from iota (Pallas kernels may not capture array
+# constants): one [1, K]-row select chain per constant — K is ~6, so this
+# is a handful of whole-block VPU ops evaluated once per grid block.
+
+_P1 = int(np.uint32(2654435761).view(np.int32))  # hash primes as wrapped
+_P2 = int(np.uint32(805459861).view(np.int32))  # int32 (same bits)
+
+
+def _const_row(vals, col, dtype=jnp.float32):
+    """[1, len-of-col] row with vals[l] at columns where col == l."""
+    out = jnp.zeros(col.shape, dtype)
+    for l, v in enumerate(vals):
+        out = jnp.where(col == l, jnp.asarray(v, dtype), out)
+    return out
+
+
+def _geom_rows(geom: SlotGeom, lv, pos):
+    """Per-level table rows from raw positions: idx [B, K] int32 in
+    [0, rows_l) (RELATIVE — no level offset), plus per-axis grid coords
+    g [3][B, 1] f32 (clipped) and clip gates gate [3][B, 1] f32 for the
+    backward chain rule. int32 multiply wraps mod 2^32, so the XOR hash
+    matches slot_geometry's uint32 math bit for bit."""
+    K = len(geom.res)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    res_row = _const_row([float(r) for r in geom.res], col)
+    resi_row = _const_row(list(geom.res), col, jnp.int32)
+    mask_row = _const_row([rl - 1 for _, rl in lv], col, jnp.int32)
+    dense_row = _const_row([1 if d else 0 for d in geom.dense], col, jnp.int32)
+
+    r = geom.radius
+    eps = 1.0 - 1e-6
+    g, gate = [], []
+    for t in range(3):
+        graw = (pos[:, t : t + 1] + r) / (2.0 * r)  # [B, 1]
+        g.append(jnp.clip(graw, 0.0, eps))
+        gate.append(((graw > 0.0) & (graw < eps)).astype(jnp.float32))
+
+    bi = [jnp.floor(g[t] * res_row).astype(jnp.int32) for t in range(3)]  # [B, K]
+    h = bi[0]
+    h = jnp.bitwise_xor(h, bi[1] * _P1)
+    h = jnp.bitwise_xor(h, bi[2] * _P2)
+    row_hash = jnp.bitwise_and(h, mask_row)
+    row_dense = bi[0] + (bi[1] + bi[2] * resi_row) * resi_row
+    idx = jnp.where(dense_row > 0, row_dense, row_hash)
+    return idx, g, gate
+
+
+def _geom_weights(geom: SlotGeom, g, order=0):
+    """Trilerp weights on the lane-folded slot axis (column c = l*8 + p).
+
+    Returns w [B, K*8] f32 (= prod_t wa_t). order>=1 adds the per-axis
+    factors wa [3][B, K*8] and derivative factors dwa [3][B, K*8] with
+    dwa_t = d wa_t / d g_t (resolution chain rule included); order>=2 adds
+    ddwa [3][B, K*8] = d^2 wa_t / d g_t^2 — everything the backward needs
+    to form dw/dg and d(dw)/dg without any operands."""
+    K = len(geom.res)
+    col8 = jax.lax.broadcasted_iota(jnp.int32, (1, K * NSLOT), 1)
+    res8 = _const_row([float(r) for r in geom.res], col8 // NSLOT)
+    slot = col8 % NSLOT
+
+    wa, dwa, ddwa = [], [], []
+    for t in range(3):
+        bit = ((slot >> t) & 1).astype(jnp.float32)  # corner offset bit
+        sgn = 2.0 * bit - 1.0
+        scaled = g[t] * res8  # [B, K*8]
+        frac = scaled - jnp.floor(scaled)
+        if geom.interp == "Smoothstep":
+            s = frac * frac * (3.0 - 2.0 * frac)
+            ds = 6.0 * frac * (1.0 - frac) * res8
+            dds = (6.0 - 12.0 * frac) * res8 * res8
+        else:  # Linear
+            s = frac
+            ds = res8
+            dds = None
+        wa.append(bit * (2.0 * s - 1.0) + (1.0 - s))  # bit ? s : 1-s
+        if order >= 1:
+            dwa.append(sgn * ds)
+        if order >= 2:
+            ddwa.append(sgn * dds if dds is not None else jnp.zeros_like(res8))
+    w = wa[0] * wa[1] * wa[2]
+    if order >= 2:
+        return w, wa, dwa, ddwa
+    if order >= 1:
+        return w, wa, dwa
+    return w
+
+
+def _fold_pos_cotangent(geom, g, gate, wa, dwa, ddwa, d_w, d_dws):
+    """Hand-derived chain rule of the trilerp geometry: the cotangents on
+    the trilerp weights (d_w [B, wc]) and, optionally, on the 3 tangent
+    weight rows (d_dws [3][B, wc] or None) fold into d loss / d pos
+    [3][B, 1]. Mirrors what XLA autodiff computed through the old
+    w(x)/dw(x) operands, clip gate included."""
+    cs = 1.0 / (2.0 * geom.radius)
+    cols = []
+    for t in range(3):
+        u, v = (t + 1) % 3, (t + 2) % 3
+        acc = d_w * (dwa[t] * wa[u] * wa[v])  # d_w_c * D_tc
+        if d_dws is not None:
+            for k in range(3):
+                if k == t:
+                    dD = ddwa[k] * wa[u] * wa[v]
+                else:
+                    o = 3 - k - t  # the remaining axis
+                    dD = dwa[k] * dwa[t] * wa[o]
+                acc = acc + cs * (d_dws[k] * dD)
+        cols.append(jnp.sum(acc, axis=-1, keepdims=True) * (gate[t] * cs))
+    return cols  # [3][B, 1]
+
+
 def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     inner = spec.inner
     L = inner.n_layers
@@ -128,12 +279,10 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     kf = K * FEAT
     pw = spec.pe_width
     f, _, _ = _act_triple(inner)
+    geom = spec.geom
 
     p = 0
     pos_ref = refs[p]; p += 1
-    idx_ref = refs[p]; p += 1
-    w_ref = refs[p]; p += 1
-    dw_ref = refs[p]; p += 1
     m_ref = refs[p]; p += 1  # coarse-to-fine mask [1, K*F]
     tblh_ref = refs[p]; p += 1
     tbll_ref = refs[p]; p += 1
@@ -145,15 +294,17 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     comp_ref = refs[p]
 
     b = pos_ref.shape[0]
-    wc = K * NSLOT
+    cs = 1.0 / (2.0 * geom.radius)
 
-    # grid: gather + trilerp
-    comp_ref[:] = _gather_onehot(idx_ref[:], spec.lv, tblh_ref, tbll_ref, b)
+    # grid: in-kernel geometry + gather + trilerp
+    idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
+    w, wa, dwa = _geom_weights(geom, g, order=1)
+    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b)
     comp = comp_ref[:]
     s_mat = s_ref[:]
     p_mat = p_ref[:]
     m = m_ref[:]
-    wexp = _dot_hl(w_ref[:], p_mat)
+    wexp = _dot_hl(w, p_mat)
     encg = _dot_hl(comp * wexp, s_mat) * m  # [B, K*F]
 
     # NeRF encoding (exact-width via encspec: no pad inside)
@@ -190,7 +341,9 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     adjS = _dotg_hl(adjg, s_mat, dn_t)  # [B, K*128]
     gcols = []
     for k in range(3):
-        dwexp_k = _dot_hl(dw_ref[:, pl.ds(k * wc, wc)], p_mat)
+        u, v = (k + 1) % 3, (k + 2) % 3
+        dw_k = (dwa[k] * wa[u] * wa[v]) * cs  # [B, wc] (no clip gate: tenc semantics)
+        dwexp_k = _dot_hl(dw_k, p_mat)
         gcols.append(jnp.sum(comp * dwexp_k * adjS, axis=-1, keepdims=True))
     grad3 = grad3 + jnp.concatenate(gcols, axis=-1)
 
@@ -209,14 +362,16 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
 
 
 def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
-    """Backward of (sdf, geo, grad3) wrt (pos, table, w, dw, W_l, b_l).
+    """Backward of (sdf, geo, grad3) wrt (pos, table, W_l, b_l).
 
     Reverse-over-reverse for the chain (fused_mlp._bwd_adj_kernel math)
-    with the grid coupled in three places: the adjoint cotangent ga picks
+    with the grid coupled in four places: the adjoint cotangent ga picks
     up the grid tangents (ga_g = sum_k g3_k * tenc_k), the grad3 output's
     direct dependence on (comp, dw) adds gck = (g3_k*adj_g) @ S^T terms,
-    and the chain-input cotangent's grid slice drives the slot backward
-    (d_comp -> one-hot scatter, d_w, d_dw)."""
+    the chain-input cotangent's grid slice drives the slot backward
+    (d_comp -> one-hot scatter), and the trilerp-weight cotangents fold
+    into the position cotangent via _fold_pos_cotangent (the second-order
+    trilerp terms XLA used to own when w/dw were operands)."""
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
@@ -226,13 +381,11 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     DL = inner.out_dims[-1]
     c = inner.tangent_out_channel
     f, df, ddf = _act_triple(inner)
+    geom = spec.geom
     first = pl.program_id(0) == 0
 
     p = 0
     pos_ref = refs[p]; p += 1
-    idx_ref = refs[p]; p += 1
-    w_ref = refs[p]; p += 1
-    dw_ref = refs[p]; p += 1
     m_ref = refs[p]; p += 1
     comp_ref = refs[p]; p += 1
     gsg_ref = refs[p]; p += 1
@@ -242,8 +395,6 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     p_ref = refs[p]; p += 1
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
     gx_ref = refs[p]; p += 1
-    dw_out = refs[p]; p += 1
-    ddw_out = refs[p]; p += 1
     dtbl_ref = refs[p]; p += 1
     gw_refs = refs[p : p + L]; gb_refs = refs[p + L : p + 2 * L]; p += 2 * L
     z_scr = refs[p]; p += 1
@@ -251,7 +402,7 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     e_scr = refs[p]
 
     b = pos_ref.shape[0]
-    wc = K * NSLOT
+    cs = 1.0 / (2.0 * geom.radius)
     comp = comp_ref[:]
     s_mat = s_ref[:]
     s2 = s2_ref[:]
@@ -259,8 +410,14 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     m = m_ref[:]
     dn_t = (((1,), (1,)), ((), ()))
 
-    # ---- rebuild x0 (grid features from the comp residual) + primal chain
-    wexp = _dot_hl(w_ref[:], p_mat)
+    # ---- rebuild geometry + x0 (grid features from the comp residual)
+    idx, g, gate = _geom_rows(geom, spec.lv, pos_ref[:])
+    w, wa, dwa, ddwa = _geom_weights(geom, g, order=2)
+    dw_rows = []
+    for k in range(3):
+        u, v = (k + 1) % 3, (k + 2) % 3
+        dw_rows.append((dwa[k] * wa[u] * wa[v]) * cs)
+    wexp = _dot_hl(w, p_mat)
     encg = _dot_hl(comp * wexp, s_mat) * m
     h0pe, t0pe, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:])
     pad = P0 - pw - kf
@@ -296,15 +453,15 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     ga_pe = sum(g3[:, k : k + 1] * t0pe[k].astype(jnp.float32) for k in range(3))
     ga_g = jnp.zeros((b, kf), jnp.float32)
     d_comp = jnp.zeros((b, K * LANE), jnp.float32)
-    ddw_cols = []
+    d_dws = []
     for k in range(3):
-        dwexp_k = _dot_hl(dw_ref[:, pl.ds(k * wc, wc)], p_mat)
+        dwexp_k = _dot_hl(dw_rows[k], p_mat)
         tenc_k = _dot_hl(comp * dwexp_k, s_mat) * m
         ga_g = ga_g + g3[:, k : k + 1] * tenc_k
         # d/d(comp o dwexp_k) of <g3_k * adj_g, tenc_k>
         gck = _dotg_hl(g3[:, k : k + 1] * adjg, s_mat, dn_t)  # [B, K*128]
         d_comp = d_comp + gck * dwexp_k
-        ddw_cols.append(_dot_hl(comp * gck, s2))  # [B, K*8]
+        d_dws.append(_dot_hl(comp * gck, s2))  # [B, K*8] cotangent on dw_k
     ga = jnp.concatenate(
         [ga_pe, ga_g] + ([jnp.zeros((b, pad), jnp.float32)] if pad else []), axis=-1
     )
@@ -397,12 +554,12 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     g_enc = ghin[:, pw : pw + kf] * m
     gt0 = _dotg_hl(g_enc, s_mat, dn_t)  # [B, K*128]
     d_comp = d_comp + gt0 * wexp
-    dw_out[:] = _dot_hl(comp * gt0, s2)
-    ddw_out[:] = jnp.concatenate(ddw_cols, axis=-1)
-    _scatter_onehot(idx_ref[:], spec.lv, dtbl_ref, d_comp, b, first)
+    d_w = _dot_hl(comp * gt0, s2)  # [B, K*8] cotangent on w
+    _scatter_onehot(idx, spec.lv, dtbl_ref, d_comp, b, first)
 
     # ---- position cotangent: PE Jacobian transpose + the encoding-Hessian
-    # term of the grad3 output (g3_k * <adj_pe, enc''_k>)
+    # term of the grad3 output (g3_k * <adj_pe, enc''_k>) + the trilerp
+    # geometry fold (first- and second-order weight terms)
     gx = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw])
     F, _, _ = spec.encspec.enc
     svec, masks = _enc_consts(spec.encspec)
@@ -411,10 +568,12 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     d2cos = -cos_p * svec * svec
     a_s = adj[:, s1c:s2c]
     a_c = adj[:, s2c : s2c + 3 * F]
+    gpos = _fold_pos_cotangent(geom, g, gate, wa, dwa, ddwa, d_w, d_dws)
     sec = jnp.concatenate(
         [
             g3[:, k : k + 1]
             * jnp.sum((a_s * d2sin + a_c * d2cos) * masks[k], axis=-1, keepdims=True)
+            + gpos[k]
             for k in range(3)
         ]
         + [jnp.zeros((b, LANE - 3), jnp.float32)],
@@ -433,21 +592,17 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     grid = (n_total // B,)
     K = spec.levels
     kf = K * FEAT
-    wc = K * NSLOT
     G = inner.geo_width
 
     def blk(shape):
         return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     pos_spec = blk((B, LANE))
-    idx_spec = blk((B, K))
-    w_spec = blk((B, wc))
-    dw_spec = blk((B, 3 * wc))
     m_spec = _const_spec((1, kf))
     tbl_spec = _const_spec((spec.rows, LANE))
     s_spec = _const_spec((K * LANE, kf))
-    s2_spec = _const_spec((K * LANE, wc))
-    p_spec = _const_spec((wc, K * LANE))
+    s2_spec = _const_spec((K * LANE, K * NSLOT))
+    p_spec = _const_spec((K * NSLOT, K * LANE))
     w_specs = [_const_spec((din, dout)) for din, dout in zip(inner.in_dims, inner.out_dims)]
     b_specs = [_const_spec((1, dout)) for dout in inner.out_dims]
     sg_spec = blk((B, LANE))
@@ -457,8 +612,8 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     fwd_call = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, idx_spec, w_spec, dw_spec, m_spec, tbl_spec, tbl_spec,
-                  s_spec, p_spec] + w_specs + b_specs,
+        in_specs=[pos_spec, m_spec, tbl_spec, tbl_spec, s_spec, p_spec]
+        + w_specs + b_specs,
         out_specs=[sg_spec, geo_spec, comp_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
@@ -478,20 +633,16 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     bwd_call = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, idx_spec, w_spec, dw_spec, m_spec, comp_spec,
-                  sg_spec, geo_spec, s_spec, s2_spec, p_spec] + w_specs + b_specs,
+        in_specs=[pos_spec, m_spec, comp_spec, sg_spec, geo_spec,
+                  s_spec, s2_spec, p_spec] + w_specs + b_specs,
         out_specs=[
             blk((B, LANE)),  # gx
-            blk((B, wc)),  # d_w
-            blk((B, 3 * wc)),  # d_dw
             tbl_spec,  # d_table (accumulates over the grid)
         ]
         + [_const_spec((din, dout)) for din, dout in zip(inner.in_dims, inner.out_dims)]
         + [_const_spec((1, dout)) for dout in inner.out_dims],
         out_shape=[
             jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_total, wc), jnp.float32),
-            jax.ShapeDtypeStruct((n_total, 3 * wc), jnp.float32),
             jax.ShapeDtypeStruct((spec.rows, LANE), jnp.float32),
         ]
         + [
@@ -508,48 +659,45 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     pm = _expand_matrix(K).astype(jnp.bfloat16)
 
     @jax.custom_vjp
-    def op(pos, idx, w, dw, mask, table, wps, bps):
+    def op(pos, mask, table, wps, bps):
         hi = table.astype(jnp.bfloat16)
         lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sg, geo, _ = fwd_call(
-                pos, idx, w, dw, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm),
-                *wbs, *bps,
+                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
             )
         return sg, geo
 
-    def op_fwd(pos, idx, w, dw, mask, table, wps, bps):
+    def op_fwd(pos, mask, table, wps, bps):
         hi = table.astype(jnp.bfloat16)
         lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sg, geo, comp = fwd_call(
-                pos, idx, w, dw, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm),
-                *wbs, *bps,
+                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
             )
-        return (sg, geo), (pos, idx, w, dw, mask, comp, wps, bps)
+        return (sg, geo), (pos, mask, comp, wps, bps)
 
     def op_bwd(res, g):
-        pos, idx, w, dw, mask, comp, wps, bps = res
+        pos, mask, comp, wps, bps = res
         gsg, ggeo = g
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             outs = bwd_call(
-                pos, idx, w, dw, mask, comp,
+                pos, mask, comp,
                 gsg.astype(jnp.float32), ggeo.astype(jnp.bfloat16),
                 jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
                 *wbs, *bps,
             )
         L = inner.n_layers
-        gx, d_w, d_dw, d_tbl = outs[0], outs[1], outs[2], outs[3]
-        gws = tuple(outs[4 : 4 + L])
-        gbs = tuple(outs[4 + L : 4 + 2 * L])
-        d_idx = np.zeros(idx.shape, jax.dtypes.float0)
+        gx, d_tbl = outs[0], outs[1]
+        gws = tuple(outs[2 : 2 + L])
+        gbs = tuple(outs[2 + L : 2 + 2 * L])
         # the coarse-to-fine mask is a schedule, never a trainable — its
         # (nonzero) cotangent is deliberately dropped
         d_mask = jnp.zeros((1, kf), jnp.float32)
-        return gx, d_idx, d_w, d_dw, d_mask, d_tbl, gws, gbs
+        return gx, d_mask, d_tbl, gws, gbs
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -557,12 +705,12 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
 
 def fused_slot_sdf_chain(
     positions: jnp.ndarray,
-    grid_coords: jnp.ndarray,
     table: jnp.ndarray,
     weights: Sequence[jnp.ndarray],
     biases: Sequence[jnp.ndarray],
     gspec: SlotGridSpec,
     *,
+    radius: float,
     num_frequencies: int,
     min_freq_exp: float,
     max_freq_exp: float,
@@ -570,21 +718,17 @@ def fused_slot_sdf_chain(
     activation: str = "SoftplusQuad",
     beta: float = 100.0,
     level_mask: Optional[jnp.ndarray] = None,
-    coord_scale: float = 1.0,
     block: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Fused slot-grid + NeRF-encoding + chain + adjoint SDF evaluation.
 
-    positions [N, 3]: raw field coordinates (PE operates on these).
-    grid_coords [N, 3] in [0, 1]: table coordinates (e.g. (x+r)/2r).
-    coord_scale: d grid_coords / d positions (1/(2r)) — folds the rescale
-    chain rule into the spatial tangents.
+    positions [N, 3]: raw field coordinates. The kernel derives the table
+    coordinates x = clip((pos + radius) / 2*radius, 0, 1-1e-6) and the
+    trilerp geometry in-kernel (no idx/w/dw operands).
     level_mask: optional [K*F] multiplier (coarse-to-fine), traced.
     Returns (sdf [N], geo [N, D_out-1] bf16, grad [N, 3] f32).
     """
-    from multimodalstudio_tpu.ops.pallas.slot_grid import slot_geometry
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not block:
@@ -597,20 +741,12 @@ def fused_slot_sdf_chain(
     d_out = weights[-1].shape[1]
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
-    idx, w, dw = slot_geometry(grid_coords, gspec)
-    dw = dw * coord_scale
-
     n_pad = _rup(n, block)
-    padn = n_pad - n
     posp = (
         jnp.zeros((n_pad, LANE), jnp.float32)
         .at[:n, :3]
         .set(positions.astype(jnp.float32))
     )
-    if padn:
-        idx = jnp.pad(idx, ((0, padn), (0, 0)))
-        w = jnp.pad(w, ((0, padn), (0, 0)))
-        dw = jnp.pad(dw, ((0, padn), (0, 0)))
     mask = (
         jnp.ones((1, kf), jnp.float32)
         if level_mask is None
@@ -632,6 +768,7 @@ def fused_slot_sdf_chain(
     spec = SlotChainSpec(
         inner=inner, encspec=encspec, levels=K, lv=lv,
         rows=gspec.total_rows, pe_width=pw,
+        geom=_make_geom(gspec, K, radius),
     )
 
     wps = tuple(
@@ -644,7 +781,7 @@ def fused_slot_sdf_chain(
     )
 
     op = _build_fused(spec, n_pad, interpret)
-    sg, geo = op(posp, idx, w, dw, mask, table, wps, bps)
+    sg, geo = op(posp, mask, table, wps, bps)
     return sg[:n, 0], geo[:n, : d_out - 1], sg[:n, 1:4]
 
 
@@ -655,10 +792,11 @@ def fused_slot_sdf_chain(
 # two-kernel composition (slot_grid_lookup -> XLA trilerp glue -> chain)
 # cost ~115 ms of the 331 ms grid step at 2048x5 rays (r3 trace
 # prof_grid_raw_tpu_2048_512: 40 ms lookup fwd + 27 ms lookup bwd + ~50 ms
-# XLA mul/reduce_sum/concat glue). This op runs gather -> trilerp -> NeRF
-# encoding -> chain -> sdf in ONE kernel; its backward is one standard
-# reverse sweep (first-order only — the curvature loss consumes plain sdf
-# values) plus the slot scatter. Mirrors tcnn's NetworkWithInputEncoding
+# XLA mul/reduce_sum/concat glue). This op runs geometry -> gather ->
+# trilerp -> NeRF encoding -> chain -> sdf in ONE kernel; its backward is
+# one standard reverse sweep (first-order only — the curvature loss
+# consumes plain sdf values) plus the slot scatter and the trilerp weight
+# fold into the position cotangent. Mirrors tcnn's NetworkWithInputEncoding
 # value path (reference src/field_components/mlp.py:246-293).
 
 
@@ -669,11 +807,10 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
     kf = K * FEAT
     pw = spec.pe_width
     f, _, _ = _act_triple(inner)
+    geom = spec.geom
 
     p = 0
     pos_ref = refs[p]; p += 1
-    idx_ref = refs[p]; p += 1
-    w_ref = refs[p]; p += 1
     m_ref = refs[p]; p += 1
     tblh_ref = refs[p]; p += 1
     tbll_ref = refs[p]; p += 1
@@ -684,9 +821,11 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
     comp_ref = refs[p]
 
     b = pos_ref.shape[0]
-    comp_ref[:] = _gather_onehot(idx_ref[:], spec.lv, tblh_ref, tbll_ref, b)
+    idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
+    w = _geom_weights(geom, g)
+    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b)
     comp = comp_ref[:]
-    wexp = _dot_hl(w_ref[:], p_ref[:])
+    wexp = _dot_hl(w, p_ref[:])
     encg = _dot_hl(comp * wexp, s_ref[:]) * m_ref[:]
 
     h0pe, _, _, _ = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
@@ -708,7 +847,7 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
 
 
 def _value_bwd_kernel(spec: SlotChainSpec, *refs):
-    """First-order backward of sdf wrt (pos, table, w, W_l, b_l)."""
+    """First-order backward of sdf wrt (pos, table, W_l, b_l)."""
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
@@ -717,12 +856,11 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     P0 = inner.in_dims[0]
     DL = inner.out_dims[-1]
     f, df, _ = _act_triple(inner)
+    geom = spec.geom
     first = pl.program_id(0) == 0
 
     p = 0
     pos_ref = refs[p]; p += 1
-    idx_ref = refs[p]; p += 1
-    w_ref = refs[p]; p += 1
     m_ref = refs[p]; p += 1
     comp_ref = refs[p]; p += 1
     gs_ref = refs[p]; p += 1
@@ -731,7 +869,6 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     p_ref = refs[p]; p += 1
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
     gx_ref = refs[p]; p += 1
-    dw_out = refs[p]; p += 1
     dtbl_ref = refs[p]; p += 1
     gw_refs = refs[p : p + L]; gb_refs = refs[p + L : p + 2 * L]; p += 2 * L
     z_scr = refs[p]
@@ -743,8 +880,10 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     m = m_ref[:]
     dn_t = (((1,), (1,)), ((), ()))
 
-    # rebuild x0 + primal chain (z residuals in scratch)
-    wexp = _dot_hl(w_ref[:], p_mat)
+    # rebuild geometry + x0 + primal chain (z residuals in scratch)
+    idx, g, gate = _geom_rows(geom, spec.lv, pos_ref[:])
+    w, wa, dwa = _geom_weights(geom, g, order=1)
+    wexp = _dot_hl(w, p_mat)
     encg = _dot_hl(comp * wexp, s_mat) * m
     h0pe, _, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
     pad = P0 - pw - kf
@@ -810,9 +949,12 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     g_enc = ghin[:, pw : pw + kf] * m
     gt0 = _dotg_hl(g_enc, s_mat, dn_t)  # [B, K*128]
     d_comp = gt0 * wexp
-    dw_out[:] = _dot_hl(comp * gt0, s2_ref[:])
-    _scatter_onehot(idx_ref[:], spec.lv, dtbl_ref, d_comp, b, first)
-    gx_ref[:] = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw])
+    d_w = _dot_hl(comp * gt0, s2_ref[:])  # [B, K*8] cotangent on w
+    _scatter_onehot(idx, spec.lv, dtbl_ref, d_comp, b, first)
+    gpos = _fold_pos_cotangent(geom, g, gate, wa, dwa, None, d_w, None)
+    gx_ref[:] = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw]) + jnp.concatenate(
+        gpos + [jnp.zeros((b, LANE - 3), jnp.float32)], axis=-1
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -823,19 +965,16 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     grid = (n_total // B,)
     K = spec.levels
     kf = K * FEAT
-    wc = K * NSLOT
 
     def blk(shape):
         return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     pos_spec = blk((B, LANE))
-    idx_spec = blk((B, K))
-    w_spec = blk((B, wc))
     m_spec = _const_spec((1, kf))
     tbl_spec = _const_spec((spec.rows, LANE))
     s_spec = _const_spec((K * LANE, kf))
-    s2_spec = _const_spec((K * LANE, wc))
-    p_spec = _const_spec((wc, K * LANE))
+    s2_spec = _const_spec((K * LANE, K * NSLOT))
+    p_spec = _const_spec((K * NSLOT, K * LANE))
     w_specs = [_const_spec((din, dout)) for din, dout in zip(inner.in_dims, inner.out_dims)]
     b_specs = [_const_spec((1, dout)) for dout in inner.out_dims]
     sdf_spec = blk((B, LANE))
@@ -844,8 +983,8 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     fwd_call = pl.pallas_call(
         functools.partial(_value_fwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, idx_spec, w_spec, m_spec, tbl_spec, tbl_spec,
-                  s_spec, p_spec] + w_specs + b_specs,
+        in_specs=[pos_spec, m_spec, tbl_spec, tbl_spec, s_spec, p_spec]
+        + w_specs + b_specs,
         out_specs=[sdf_spec, comp_spec],
         out_shape=[
             jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
@@ -859,18 +998,16 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     bwd_call = pl.pallas_call(
         functools.partial(_value_bwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, idx_spec, w_spec, m_spec, comp_spec, sdf_spec,
+        in_specs=[pos_spec, m_spec, comp_spec, sdf_spec,
                   s_spec, s2_spec, p_spec] + w_specs + b_specs,
         out_specs=[
             blk((B, LANE)),  # gx
-            blk((B, wc)),  # d_w
             tbl_spec,  # d_table (accumulates over the grid)
         ]
         + [_const_spec((din, dout)) for din, dout in zip(inner.in_dims, inner.out_dims)]
         + [_const_spec((1, dout)) for dout in inner.out_dims],
         out_shape=[
             jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_total, wc), jnp.float32),
             jax.ShapeDtypeStruct((spec.rows, LANE), jnp.float32),
         ]
         + [
@@ -887,44 +1024,41 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     pm = _expand_matrix(K).astype(jnp.bfloat16)
 
     @jax.custom_vjp
-    def op(pos, idx, w, mask, table, wps, bps):
+    def op(pos, mask, table, wps, bps):
         hi = table.astype(jnp.bfloat16)
         lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sdf, _ = fwd_call(
-                pos, idx, w, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm),
-                *wbs, *bps,
+                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
             )
         return sdf
 
-    def op_fwd(pos, idx, w, mask, table, wps, bps):
+    def op_fwd(pos, mask, table, wps, bps):
         hi = table.astype(jnp.bfloat16)
         lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sdf, comp = fwd_call(
-                pos, idx, w, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm),
-                *wbs, *bps,
+                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
             )
-        return sdf, (pos, idx, w, mask, comp, wps, bps)
+        return sdf, (pos, mask, comp, wps, bps)
 
     def op_bwd(res, gsdf):
-        pos, idx, w, mask, comp, wps, bps = res
+        pos, mask, comp, wps, bps = res
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             outs = bwd_call(
-                pos, idx, w, mask, comp, gsdf.astype(jnp.float32),
+                pos, mask, comp, gsdf.astype(jnp.float32),
                 jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
                 *wbs, *bps,
             )
         L = inner.n_layers
-        gx, d_w, d_tbl = outs[0], outs[1], outs[2]
-        gws = tuple(outs[3 : 3 + L])
-        gbs = tuple(outs[3 + L : 3 + 2 * L])
-        d_idx = np.zeros(idx.shape, jax.dtypes.float0)
+        gx, d_tbl = outs[0], outs[1]
+        gws = tuple(outs[2 : 2 + L])
+        gbs = tuple(outs[2 + L : 2 + 2 * L])
         d_mask = jnp.zeros((1, spec.levels * FEAT), jnp.float32)
-        return gx, d_idx, d_w, d_mask, d_tbl, gws, gbs
+        return gx, d_mask, d_tbl, gws, gbs
 
     op.defvjp(op_fwd, op_bwd)
     return op
@@ -932,12 +1066,12 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
 
 def fused_slot_sdf_value(
     positions: jnp.ndarray,
-    grid_coords: jnp.ndarray,
     table: jnp.ndarray,
     weights: Sequence[jnp.ndarray],
     biases: Sequence[jnp.ndarray],
     gspec: SlotGridSpec,
     *,
+    radius: float,
     num_frequencies: int,
     min_freq_exp: float,
     max_freq_exp: float,
@@ -957,11 +1091,9 @@ def fused_slot_sdf_value(
     levels (sampler coarse queries); truncated feature columns enter the
     chain as zeros, matching slot_grid_lookup's padding. level_mask is the
     traced coarse-to-fine mask over the ACTIVE k*F feature columns.
-    First-order gradients only (positions/table/w/weights/biases) — the
+    First-order gradients only (positions/table/weights/biases) — the
     hessian-of-sdf path must use fused_slot_sdf_chain.
     """
-    from multimodalstudio_tpu.ops.pallas.slot_grid import slot_geometry
-
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not block:
@@ -977,18 +1109,12 @@ def fused_slot_sdf_value(
     d_in = pw + gspec.num_levels * FEAT  # full MLP input width (all levels)
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
-    idx, w, _dw_unused = slot_geometry(grid_coords, gspec, K)  # dw is DCE'd
-
     n_pad = _rup(n, block)
-    padn = n_pad - n
     posp = (
         jnp.zeros((n_pad, LANE), jnp.float32)
         .at[:n, :3]
         .set(positions.astype(jnp.float32))
     )
-    if padn:
-        idx = jnp.pad(idx, ((0, padn), (0, 0)))
-        w = jnp.pad(w, ((0, padn), (0, 0)))
     mask = (
         jnp.ones((1, kf), jnp.float32)
         if level_mask is None
@@ -1009,6 +1135,7 @@ def fused_slot_sdf_value(
     spec = SlotChainSpec(
         inner=inner, encspec=encspec, levels=K, lv=lv,
         rows=gspec.total_rows, pe_width=pw,
+        geom=_make_geom(gspec, K, radius),
     )
 
     wps = tuple(
@@ -1021,5 +1148,5 @@ def fused_slot_sdf_value(
     )
 
     op = _build_value(spec, n_pad, interpret)
-    sdf = op(posp, idx, w, mask, table, wps, bps)
+    sdf = op(posp, mask, table, wps, bps)
     return sdf[:n, 0]

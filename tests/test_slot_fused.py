@@ -80,12 +80,11 @@ def reference(ws, bs, table, pos, active=None):
 
 
 def fused(ws, bs, table, pos, active=None):
-    rescaled = jnp.clip((pos + R) / (2 * R), 0.0, 1.0 - 1e-6)
     sdf, geo, grad = fused_slot_sdf_chain(
-        pos, rescaled, table, ws, bs, GSPEC,
+        pos, table, ws, bs, GSPEC, radius=R,
         num_frequencies=PE.num_frequencies, min_freq_exp=PE.min_freq_exp,
         max_freq_exp=PE.max_freq_exp, skip=(), activation="SoftplusQuad",
-        beta=100.0, level_mask=_mask(active), coord_scale=1.0 / (2 * R),
+        beta=100.0, level_mask=_mask(active),
         block=8,
     )
     return sdf, geo.astype(jnp.float32), grad
@@ -183,12 +182,11 @@ def reference_value(ws, bs, table, pos, active=None, k=None):
 
 
 def fused_value(ws, bs, table, pos, active=None, k=None):
-    rescaled = jnp.clip((pos + R) / (2 * R), 0.0, 1.0 - 1e-6)
     mask = _mask(active)
     if mask is not None and k is not None:
         mask = mask[: k * GSPEC.features_per_level]
     return fused_slot_sdf_value(
-        pos, rescaled, table, ws, bs, GSPEC,
+        pos, table, ws, bs, GSPEC, radius=R,
         num_frequencies=PE.num_frequencies, min_freq_exp=PE.min_freq_exp,
         max_freq_exp=PE.max_freq_exp, skip=(), activation="SoftplusQuad",
         beta=100.0, level_mask=mask, num_levels=k, block=8,
