@@ -351,18 +351,21 @@ def _grid_raw_tpu() -> TrainerConfig:
     sf = base.model.surface.surface_field
     # VMEM-resident slot-hash grid (ops/pallas/slot_grid.py): the XLA hash
     # grid is HBM-gather-issue-bound at ~1-2K rays/s (docs/performance.md
-    # §3); the slot grid's table lives in VMEM where dynamic sublane loads
-    # sustain ~1.2G tiles/s. 6 levels x 16 feats/vertex, 2048 rows/level
-    # (5.6 MB f32 — sized so table + gradient accumulator fit VMEM in the
-    # backward kernel).
+    # §3); the slot grid's table lives in VMEM where one-hot MXU matmuls
+    # gather/scatter at dense-matmul rate. 6 levels x 16 feats/vertex.
     # layout="cell": one row per (cell, level) — 8x fewer scalar copies
     # than exact vertex hashing (the v5e copy-issue roofline, slot_grid.py
     # docstring) AND measured better on the 1500-step harness (cell
-    # 41.2/39.5 dB vs vertex 37.5/34.5 rgb/mono, qc_grid_{cell,vertex}_r3)
+    # 41.2/39.5 dB vs vertex 37.5/34.5 rgb/mono, qc_grid_{cell,vertex}_r3).
+    # rows_per_level=512: the measured quality AND speed optimum of the r3
+    # rows ladder (512: 45.0/42.5 dB; 1024: 41.8/40.1; 2048: 41.2/39.5;
+    # 256: 40.9/38.5 — qc_grid_rows{256,512,1024}_r3.json) — smaller
+    # tables both halve the one-hot matmul cost and regularize the hashed
+    # fine levels.
     grid_ad = dc.replace(
         sf.field.grid,
         encoding=SlotGridSpec(
-            num_levels=6, min_res=16, max_res=512, rows_per_level=2048,
+            num_levels=6, min_res=16, max_res=512, rows_per_level=512,
             layout="cell",
         ),
     )

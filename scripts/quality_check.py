@@ -43,9 +43,14 @@ def main():
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
     if args.cpu:
+        # CPU AOT cache entries are machine-feature-specific; the in-tree
+        # .jaxcache travels across round VMs with different CPUs and a
+        # mismatched entry SIGILLs on load — keep CPU caches host-local
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache_cpu")
         jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
 
     from multimodalstudio_tpu.configs.config import load_config
     from multimodalstudio_tpu.launcher import build_datasets, resolve_model_channels

@@ -140,8 +140,8 @@ class TestSlotGridLayouts:
 class TestSlotGrid:
 
     def test_production_spec_forward_and_grads(self):
-        """The flagship production geometry (6 levels, 16..512, 2048
-        rows/level, cell+onehot) against the gather mirror — exercises
+        """Production-scale geometry (6 levels, 16..512, 2048 rows/level,
+        cell+onehot) against the gather mirror — exercises
         hashed levels, level offsets and the bf16 hi/lo split at real
         table sizes (tiny N keeps interpret mode fast)."""
         spec = SlotGridSpec(
