@@ -8,10 +8,10 @@ training loop. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Default method: `mlp_raw_tpu` — the recommended TPU training recipe (pure-MLP
-fields are all-MXU with zero hash-table gathers; on the synthetic quality
-harness it exceeds the hash-grid recipe's PSNR, see PLAN.md). Set
-BENCH_METHOD=grid_raw_tpu to measure the hash-grid flagship instead
-(gather-bound on v5e until the Pallas encode kernel lands), BENCH_RAYS /
+fields are all-MXU; on the synthetic quality harness it exceeds the
+hash-grid recipe's PSNR, see PLAN.md). Set BENCH_METHOD=grid_raw_tpu to
+measure the slot-hash-grid flagship instead (fully-fused Pallas grid+MLP
+kernels with in-kernel geometry, ops/pallas/slot_fused.py), BENCH_RAYS /
 BENCH_MICROBATCH to vary batch geometry.
 Baseline target: 2,000,000 rays/sec/chip on TPU v5e (BASELINE.md).
 """

@@ -10,6 +10,7 @@ trainer.py:107-114).
 
 from __future__ import annotations
 
+import math
 import os
 import time
 from typing import Dict, Optional
@@ -259,12 +260,20 @@ class Trainer:
     def _host_cadences(self, step: int, aux):
         config = self.config
         if check_step(step, config.logging.steps_per_log):
-            self.writer.put_dict(
-                jax.tree.map(float, aux["losses"]), step, prefix="losses/"
-            )
+            losses = jax.tree.map(float, aux["losses"])
+            self.writer.put_dict(losses, step, prefix="losses/")
             self.writer.put_dict(
                 jax.tree.map(float, aux["metrics"]), step, prefix="metrics/"
             )
+            total = losses.get("total_loss", 0.0)
+            if not math.isfinite(total):
+                # abort rather than silently training on NaN for the rest of
+                # a (possibly 100K-step) run; the newest checkpoint predates
+                # the divergence so auto-resume can restart from it
+                raise FloatingPointError(
+                    f"total_loss is {total} at step {step} — aborting the "
+                    "run (last checkpoint is the newest saved step)"
+                )
 
         self.eval_cadences(step)
 

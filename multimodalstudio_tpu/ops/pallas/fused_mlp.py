@@ -1153,8 +1153,12 @@ def fused_sdf_chain(
     mode: 'adjoint' (default) computes the gradient with one in-kernel
     reverse sweep — ~2x fewer matmuls than 'jvp' (3 forward tangent
     chains); both have hand-derived Pallas backwards and agree to bf16
-    noise (tests/test_fused_mlp.py).
+    noise (tests/test_fused_mlp.py). MMS_SDF_CHAIN_MODE overrides (A/B
+    experiments on the quality harness).
     """
+    import os as _os
+
+    mode = _os.environ.get("MMS_SDF_CHAIN_MODE", mode)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not block:

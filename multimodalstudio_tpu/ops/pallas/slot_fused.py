@@ -728,11 +728,14 @@ def fused_slot_sdf_chain(
     trilerp geometry in-kernel (no idx/w/dw operands).
     level_mask: optional [K*F] multiplier (coarse-to-fine), traced.
     Returns (sdf [N], geo [N, D_out-1] bf16, grad [N, 3] f32).
+    MMS_SLOT_BLOCK overrides the block size (perf experiments).
     """
+    import os as _os
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not block:
-        block = DEFAULT_BLOCK
+        block = int(_os.environ.get("MMS_SLOT_BLOCK", "0")) or DEFAULT_BLOCK
     n = positions.shape[0]
     K = gspec.num_levels
     kf = K * FEAT
@@ -1093,11 +1096,14 @@ def fused_slot_sdf_value(
     traced coarse-to-fine mask over the ACTIVE k*F feature columns.
     First-order gradients only (positions/table/weights/biases) — the
     hessian-of-sdf path must use fused_slot_sdf_chain.
+    MMS_SLOT_BLOCK overrides the block size (perf experiments).
     """
+    import os as _os
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if not block:
-        block = DEFAULT_BLOCK
+        block = int(_os.environ.get("MMS_SLOT_BLOCK", "0")) or DEFAULT_BLOCK
     n = positions.shape[0]
     K = (
         gspec.num_levels

@@ -39,6 +39,10 @@ def main():
         "--grid-rows", type=int, default=None,
         help="override slot-grid rows_per_level",
     )
+    parser.add_argument(
+        "--seed", type=int, default=None,
+        help="override config.seed (trajectory-variance estimates)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -67,6 +71,8 @@ def main():
         steps_per_export_poses=0,
     )
     config = dataclasses.replace(config, **overrides)
+    if args.seed is not None:
+        config = dataclasses.replace(config, seed=args.seed)
     if args.modalities:
         config = dataclasses.replace(config, modalities=tuple(args.modalities))
     config = dataclasses.replace(
