@@ -224,7 +224,9 @@ class TestSlotGrid:
         cfg = method_configs()["grid_raw_tpu"]
         # shrink the grid for CPU interpret mode
         sf = cfg.model.surface.surface_field
-        small = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64)
+        small = SlotGridSpec(
+            num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell"
+        )
         grid = dc.replace(sf.field.grid, encoding=small)
         surface = dc.replace(
             cfg.model.surface,
@@ -264,7 +266,9 @@ class TestSlotGrid:
 
         cfg = method_configs()["grid_raw_tpu"]
         sf = cfg.model.surface.surface_field
-        small = SlotGridSpec(num_levels=3, min_res=4, max_res=16, rows_per_level=64)
+        small = SlotGridSpec(
+            num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell"
+        )
         grid = dc.replace(sf.field.grid, encoding=small)
 
         def make(stride):
