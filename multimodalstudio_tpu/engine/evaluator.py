@@ -206,21 +206,27 @@ class Evaluator:
         return self.render_view(state, ds, mod, frame_index)
 
     def render_specific_views(self, state: TrainState, view_ids) -> Dict[str, Dict[int, dict]]:
-        """Render an arbitrary mix of train/eval view ids per modality
-        (reference render_specific_views, evaluator.py:477-500)."""
+        """Render an arbitrary mix of train/eval view ids per modality.
+
+        Reference parity (evaluator.py:232-282 + merge_metrics :477-500): the
+        reference walks BOTH full-view dataloaders, so a view id present in
+        both splits is rendered from each and the per-view metrics are merged
+        sorted by id. We mirror that: every split occurrence is rendered and
+        exported; the returned dict keeps the eval-split frames when the id
+        exists in both (the reference's merge lists eval rows first)."""
         out: Dict[str, Dict[int, dict]] = {}
         for mod in self.train_dataset.modalities:
             out[mod] = {}
-            for vid in view_ids:
+            for vid in sorted(view_ids):
                 for split, ds in (("eval", self.eval_dataset), ("train", self.train_dataset)):
                     ids = list(ds.data[mod].frame_ids) if mod in ds.data else []
                     if vid in ids:
                         fi = ids.index(vid)
                         frames = self.render_view(state, ds, mod, fi)
-                        out[mod][vid] = frames
+                        if vid not in out[mod]:
+                            out[mod][vid] = frames
                         if self.output_dir is not None:
                             self.export_view(frames, mod, vid, int(state.step))
-                        break
         return out
 
     # -------------------------------------------------------------- exports

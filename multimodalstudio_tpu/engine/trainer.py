@@ -224,18 +224,22 @@ class Trainer:
         config = self.config
         k = self.steps_per_call
         n_rays_step = config.datamanager.num_rays_per_modality * len(config.modalities)
-        assert self.step_start % k == 0, (
-            f"resume step {self.step_start} not aligned to fused chunk {k}"
-        )
-        for start in range(self.step_start, config.max_num_iterations, k):
-            step = start + k - 1
+        # The program is K=1 (chunking is only host-side dispatch grouping),
+        # so a resume step that isn't chunk-aligned — e.g. steps_per_save not
+        # a multiple of k, or re-running a finished job — just gets a short
+        # first chunk to realign.
+        start = self.step_start
+        while start < config.max_num_iterations:
+            kc = min(k - start % k, config.max_num_iterations - start)
+            step = start + kc - 1
             with TimeWriter(self.writer, ITER_TRAIN_TIME, step) as t:
-                for _ in range(k):  # async chain; one sync per chunk
+                for _ in range(kc):  # async chain; one sync per chunk
                     self.state, aux = self.fused_train(self.state, self.rng)
                 jax.block_until_ready(self.state.params["model"])
-            self.writer.buffer.times[ITER_TRAIN_TIME][-1] = t.duration / k
-            self.writer.put_time(TRAIN_RAYS_PER_SEC, k * n_rays_step / t.duration, step)
+            self.writer.buffer.times[ITER_TRAIN_TIME][-1] = t.duration / kc
+            self.writer.put_time(TRAIN_RAYS_PER_SEC, kc * n_rays_step / t.duration, step)
             self._host_cadences(step + 1, aux)
+            start += kc
 
     def _train_per_step(self):
         config = self.config

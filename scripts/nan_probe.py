@@ -16,6 +16,18 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
 
+# PROBE_MATMUL=high mirrors Trainer.__init__ (trainer.py:64-69), which maps
+# config.matmul_precision "high" -> global f32 contract precision. The direct
+# fused-loop probes historically left this at the bf16 default — a program
+# difference vs production.
+if os.environ.get("PROBE_MATMUL"):
+    jax.config.update(
+        "jax_default_matmul_precision",
+        {"highest": "highest", "high": "float32", "default": "bfloat16"}[
+            os.environ["PROBE_MATMUL"]
+        ],
+    )
+
 
 def main():
     from multimodalstudio_tpu.configs.methods import method_configs
@@ -36,6 +48,11 @@ def main():
     steps = int(os.environ.get("PROBE_STEPS", "300"))
     max_iter = int(os.environ.get("PROBE_MAXITER", "100000"))
     micro = int(os.environ.get("PROBE_MICRO", "512"))
+    seed = int(os.environ.get("PROBE_SEED", "0"))
+    # PROBE_SPLIT=1 reproduces the launcher's train split (every 5th view
+    # held out) — the nanrepro run shows the Trainer path NaNs at step 20
+    # where the unsplit probe is clean.
+    split = os.environ.get("PROBE_SPLIT", "0") == "1"
 
     cfg = method_configs()[method]
     cfg = dataclasses.replace(
@@ -46,16 +63,24 @@ def main():
             cfg.datamanager, num_rays_per_modality=n_rays, microbatch_rays=micro
         ),
     )
-    dataset = make_synthetic_dataset(mods, num_views=views, height=size, width=size, raw=True)
+    view_ids = None
+    n_train_views = views
+    if split:
+        view_ids = [i for i in range(views) if i % 5 != 4]
+        n_train_views = len(view_ids)
+    dataset = make_synthetic_dataset(
+        mods, num_views=views, height=size, width=size, raw=True, view_ids=view_ids
+    )
     cache = build_device_cache(dataset)
     cameras = {m: dataset.data[m].cameras for m in mods}
     model = MMSModel(cfg.model)
-    state = init_train_state(cfg, model, jax.random.key(0), {m: views for m in mods})
+    # mirror Trainer.__init__ exactly: rng, init_rng = split(key(seed))
+    rng, init_rng = jax.random.split(jax.random.key(seed))
+    state = init_train_state(cfg, model, init_rng, {m: n_train_views for m in mods})
     fused = make_fused_train_fn(cfg, model, cameras, cache, 1)
-    rng = jax.random.key(1)
 
     print(f"probe {method} rays={n_rays} views={views} size={size} "
-          f"mods={len(mods)} max_iter={max_iter}", flush=True)
+          f"mods={len(mods)} max_iter={max_iter} seed={seed} split={split}", flush=True)
     for i in range(steps):
         state, aux = fused(state, rng)
         if i % 10 == 0 or i < 5:
