@@ -43,6 +43,15 @@ def main():
     n_rays = int(os.environ.get("BENCH_RAYS", n_rays))
     micro = int(os.environ.get("BENCH_MICROBATCH", "512"))
     cfg = method_configs()[method]
+    # mirror Trainer.__init__ (trainer.py:64-69) so the benched program is
+    # the production program (the TPU flagships run bf16 contract precision
+    # globally with f32 pinned locally in geometry matmuls)
+    jax.config.update(
+        "jax_default_matmul_precision",
+        {"highest": "highest", "high": "float32", "default": "bfloat16"}.get(
+            cfg.matmul_precision, "float32"
+        ),
+    )
     cfg = dataclasses.replace(
         cfg,
         modalities=modalities,

@@ -421,6 +421,12 @@ def _grid_raw_tpu() -> TrainerConfig:
         base,
         model=model,
         mixed_precision=True,
+        # global bf16 contract precision: geometry-critical matmuls pin f32
+        # locally (lie_groups, sampler merge). The global-f32 program
+        # ("high") MISCOMPILES on XLA:TPU for the fused-kernel flagships —
+        # jit returns NaN while the op-by-op execution of the same program
+        # is finite (scripts/nan_jit_probe.py, r3logs/nan_debug.log).
+        matmul_precision="default",
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )
     # the grid-less MLPs (radiance trunk, background, heads) run as fused
@@ -460,6 +466,10 @@ def _mlp_raw_tpu() -> TrainerConfig:
         # measures +35% (batch_scaling5.log: 26.5K -> 35.7K rays/s)
         model=dc.replace(base.model, surface=surface, remat=False),
         mixed_precision=True,
+        # see _grid_raw_tpu: global-f32 contract precision miscompiles the
+        # fused-kernel programs on XLA:TPU (NaN under jit, finite op-by-op);
+        # geometry matmuls pin f32 locally
+        matmul_precision="default",
         datamanager=dc.replace(base.datamanager, microbatch_rays=512),
     )
     # fused Pallas MLP chains (VMEM-resident layer chain + 3-tangent SDF

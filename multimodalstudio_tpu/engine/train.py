@@ -161,7 +161,18 @@ def build_rays(
 
     Counterpart of reference src/model_components/ray_generators.py:43-81,
     inside jit (camera-optimizer exp maps included).
+
+    Ray geometry (pose composition, exp maps, direction rotation) is pinned
+    to f32 contract precision: the TPU flagships run the global matmul
+    default at bf16 (configs/methods.py — the global-f32 program miscompiles
+    on XLA:TPU, scripts/nan_jit_probe.py), and camera-sized matmuls are far
+    too small to matter for speed but DO need f32 ray origins/directions.
     """
+    with jax.default_matmul_precision("float32"):
+        return _build_rays_f32(config, params, cameras, batch)
+
+
+def _build_rays_f32(config, params, cameras, batch):
     stacked, offsets = stack_cameras(cameras, config.modalities)
     segments = tuple(
         (mod, batch[mod].pixel_coords.shape[0]) for mod in config.modalities

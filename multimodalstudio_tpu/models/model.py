@@ -551,17 +551,18 @@ class MMSModel:
             # spatial tangents), NeRF encoding (+Jacobian), the dense chain
             # and one reverse-mode adjoint sweep all in VMEM — no enc/tenc
             # HBM round-trip between the grid and the MLP
-            sdf_flat, geo_flat, grad = fused_slot_sdf_chain(
-                flat, table, ws, bs, gspec.encoding,
-                radius=r,
-                num_frequencies=pspec.num_frequencies,
-                min_freq_exp=pspec.min_freq_exp,
-                max_freq_exp=pspec.max_freq_exp,
-                skip=mspec.skip_connections,
-                activation=mspec.activation,
-                beta=mspec.activation_beta,
-                level_mask=level_mask,
-            )
+            with jax.named_scope("slot_main"):
+                sdf_flat, geo_flat, grad = fused_slot_sdf_chain(
+                    flat, table, ws, bs, gspec.encoding,
+                    radius=r,
+                    num_frequencies=pspec.num_frequencies,
+                    min_freq_exp=pspec.min_freq_exp,
+                    max_freq_exp=pspec.max_freq_exp,
+                    skip=mspec.skip_connections,
+                    activation=mspec.activation,
+                    beta=mspec.activation_beta,
+                    level_mask=level_mask,
+                )
             sdf = sdf_flat.reshape(positions.shape[:-1])
             geo = geo_flat.reshape(*positions.shape[:-1], -1)
             gradients = grad.reshape(positions.shape)
@@ -622,7 +623,8 @@ class MMSModel:
                 tap_pos = positions[..., ::stride, :]
                 tap_base_sdf = sdf[..., ::stride]
             taps = tap_pos[..., None, :] + k * d
-            tap_sdf = self.sdf_only(params, taps, lvl)
+            with jax.named_scope("slot_taps"):
+                tap_sdf = self.sdf_only(params, taps, lvl)
             hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * tap_base_sdf) / delta**2
             hessians = jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
         return sdf, geo, gradients, hessians
@@ -713,14 +715,14 @@ class MMSModel:
         else:
             collided, mask = sphere_collide(rays, spec.scene_radius)
 
+        def _sampler_sdf(pos):
+            with jax.named_scope("slot_sampler"):
+                return self.sdf_only(
+                    params, pos, schedules.active_level, spec.surface.sampler_levels
+                )
+
         samples = neus_sampling(
-            collided,
-            lambda pos: self.sdf_only(
-                params, pos, schedules.active_level, spec.surface.sampler_levels
-            ),
-            spec.ray_sampler,
-            rng_roi,
-            train,
+            collided, _sampler_sdf, spec.ray_sampler, rng_roi, train
         )
 
         background = None

@@ -180,7 +180,11 @@ def merge_sorted(a: jnp.ndarray, b: jnp.ndarray, *value_pairs):
     oh_b = (rank_b[:, :, None] == k).astype(a.dtype)  # [N, Sb, S]
 
     def place(va, vb):
-        return jnp.einsum("ns,nsk->nk", va, oh_a) + jnp.einsum("ns,nsk->nk", vb, oh_b)
+        # pin f32 contract precision: bin POSITIONS ride this matmul, and the
+        # global default is bf16 on the TPU flagships (configs/methods.py) —
+        # a bf16-rounded one-hot placement would quantize sample depths ~0.4%
+        with jax.default_matmul_precision("float32"):
+            return jnp.einsum("ns,nsk->nk", va, oh_a) + jnp.einsum("ns,nsk->nk", vb, oh_b)
 
     out = [place(a, b)]
     for va, vb in value_pairs:

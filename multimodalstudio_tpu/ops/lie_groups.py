@@ -6,6 +6,7 @@ is expressed as jnp.where so the maps are jit/vmap/grad friendly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -36,7 +37,10 @@ def exp_map_SO3xR3(tangent: jnp.ndarray) -> jnp.ndarray:
     fac1 = inv * jnp.sin(rot_angles)
     fac2 = inv * inv * (1.0 - jnp.cos(rot_angles))
     skews = _skew(log_rot)
-    skews_sq = skews @ skews
+    # f32 contract precision regardless of the global default (bf16 on the
+    # TPU flagships): pose math must stay f32-exact
+    with jax.default_matmul_precision("float32"):
+        skews_sq = skews @ skews
     eye = jnp.broadcast_to(jnp.eye(3, dtype=tangent.dtype), skews.shape)
     rot = fac1[..., None, None] * skews + fac2[..., None, None] * skews_sq + eye
     return jnp.concatenate([rot, tangent[..., :3, None]], axis=-1)
@@ -94,6 +98,7 @@ def pose_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Counterpart of reference src/utils/poses.py multiply used at
     cameras.py:659-660.
     """
-    rot = a[..., :3, :3] @ b[..., :3, :3]
-    trans = (a[..., :3, :3] @ b[..., :3, 3:]) + a[..., :3, 3:]
+    with jax.default_matmul_precision("float32"):
+        rot = a[..., :3, :3] @ b[..., :3, :3]
+        trans = (a[..., :3, :3] @ b[..., :3, 3:]) + a[..., :3, 3:]
     return jnp.concatenate([rot, trans], axis=-1)
