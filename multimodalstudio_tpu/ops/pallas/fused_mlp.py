@@ -45,10 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 _SKIP_SCALE = 1.0 / np.sqrt(2.0)
-# samples per kernel grid step. 384 measured best on v5e (bench sweep:
-# 256 = 54.3K, 384 = 56.1K rays/s, 512 = scoped-VMEM OOM in the backward);
-# sweepable via MMS_FUSED_BLOCK.
-DEFAULT_BLOCK = int(os.environ.get("MMS_FUSED_BLOCK", "384"))
+# samples per kernel grid step. r2 (tangent-chain backward): 384 best, 512
+# OOM'd scoped VMEM. r3: the adjoint-mode backward's smaller residual set
+# fits 512, and 512 measures best for BOTH flagships (r3logs/bench_*:
+# mlp 72.4K -> 74.1K rays/s, slot-grid 57.2K -> 60.6K at slot block 512;
+# 768 regresses to 56.9K). Sweepable via MMS_FUSED_BLOCK / MMS_SLOT_BLOCK.
+DEFAULT_BLOCK = int(os.environ.get("MMS_FUSED_BLOCK", "512"))
 
 # Mosaic's default scoped-VMEM limit is 16 MB — far below v5e's 128 MB
 # physical VMEM. The fused backwards' live temporaries legitimately need
