@@ -73,7 +73,14 @@ def load_checkpoint(
         "opt_state": state.opt_state,
         "step": np.asarray(int(state.step)),
     }
-    restored = _checkpointer().restore(path, item=template)
+    # explicit per-leaf restore args (sharding/dtype from the template):
+    # without them, checkpoints written on one platform (TPU run) cannot be
+    # restored on another (CPU eval of a TPU-trained scene) — orbax demands
+    # a concrete sharding for leaves saved as device arrays
+    restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+    restored = _checkpointer().restore(
+        path, item=template, restore_args=restore_args
+    )
     new_state = TrainState(
         params=restored["params"],
         opt_state=restored["opt_state"],

@@ -30,6 +30,7 @@ def main():
     if not steps:
         print("no eval blocks found", file=sys.stderr)
         return
+    steps.sort(key=lambda t: t[0])  # results.txt prepends (reference parity)
     mods = sorted({k for _, d in steps for k in d})
     print("| step | " + " | ".join(mods) + " |")
     print("|" + "---|" * (len(mods) + 1))
