@@ -92,6 +92,15 @@ def main(argv=None):
     parser.add_argument("--max_iterations", type=int, default=None)
     args = parser.parse_args(argv)
 
+    # Persistent compile cache: the remote TPU AOT compiler costs minutes per
+    # program; cache hits skip it entirely (CLAUDE.md environment facts).
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("MMS_JAXCACHE", "/root/repo/.jaxcache"),
+    )
+
     config = load_config(args.conf_path, method=args.method)
     if args.max_iterations:
         config = dataclasses.replace(config, max_num_iterations=args.max_iterations)
