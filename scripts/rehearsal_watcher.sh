@@ -9,6 +9,10 @@ interval=${2:-300}
 cd /root/repo
 while true; do
   sleep "$interval"
-  bash scripts/commit_rehearsal_progress.sh "$run_dir" \
-    "Rehearsal checkpoint sync: $(basename "$run_dir")" 2>/dev/null | tail -1
+  # stderr lands in the watcher's nohup log; warn loudly on failure so
+  # persistent sync breakage is visible instead of silently looping.
+  if ! bash scripts/commit_rehearsal_progress.sh "$run_dir" \
+      "Rehearsal checkpoint sync: $(basename "$run_dir")" | tail -1; then
+    echo "WARNING: rehearsal progress commit FAILED at $(date -u +%FT%TZ)" >&2
+  fi
 done

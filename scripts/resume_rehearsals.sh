@@ -15,6 +15,15 @@ arm=${ARM:-grid}
 run_dir="output/synthetic_raw/${arm}_raw_tpu/rehearsal_${arm}_dense/r3rehearsal"
 conf="confs/rehearsal_${arm}_dense.yaml"
 
+# refuse to double-launch: a second trainer on the same run_dir corrupts it
+for kind in rehearsal watcher; do
+  pidfile="/tmp/${kind}_${arm}.pid"
+  if [ -f "$pidfile" ] && kill -0 "$(cat "$pidfile")" 2>/dev/null; then
+    echo "$kind for arm '$arm' already running (pid $(cat "$pidfile")); aborting"
+    exit 1
+  fi
+done
+
 mkdir -p "$(dirname "$run_dir")"
 nohup env PYTHONPATH=/root/repo:/root/.axon_site \
   python -m multimodalstudio_tpu.launcher --mode train \
