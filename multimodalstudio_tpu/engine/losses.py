@@ -86,8 +86,15 @@ def radiance_loss(
 
 
 def eikonal_loss(spec: GeometryLossSpec, gradients: jnp.ndarray) -> jnp.ndarray:
-    """||grad sdf|| -> 1 (losses.py:107-119); gradients [..., 3]."""
-    grad_norm = jnp.linalg.norm(gradients, axis=-1)
+    """||grad sdf|| -> 1 (losses.py:107-119); gradients [..., 3].
+
+    Safe norm: jnp.linalg.norm has a NaN gradient at exactly 0, and a
+    single all-zero SDF gradient (SoftplusQuad's derivative is exactly 0
+    on its linear-negative branch, so a sample whose every activation path
+    is dead produces one) poisons the whole batch through
+    clip_by_global_norm — root cause of the r4 rehearsal NaN at step 44.3K.
+    The epsilon biases the norm by <=1e-6, vs a target of 1."""
+    grad_norm = jnp.sqrt(jnp.sum(gradients * gradients, axis=-1) + 1e-12)
     return jnp.mean(_elementwise(spec.eikonal_loss, grad_norm, jnp.ones_like(grad_norm)))
 
 

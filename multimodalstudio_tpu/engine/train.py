@@ -249,13 +249,37 @@ def make_train_step(
             config, model, cameras, grid, state.params, batch, step, schedules,
             rng_model, rng_loss, mesh,
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = _guarded_update(tx, grads, state, metrics)
         new_state = TrainState(params=params, opt_state=opt_state, step=step + 1)
         losses["total_loss"] = total
         return new_state, {"losses": losses, "metrics": metrics}
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def _guarded_update(tx, grads, state, metrics):
+    """Optimizer update that SKIPS non-finite gradient steps.
+
+    One all-dead sample can emit an inf/NaN gradient that
+    clip_by_global_norm then spreads to every parameter (the r4 rehearsal
+    died this way at step 44.3K from a finite loss). Reference parity: the
+    torch stack's fp16 GradScaler skips inf steps the same way. The skip is
+    structure-preserving — optimizer state passes through untouched on a
+    bad step — so checkpoints stay pytree-compatible (optax.apply_if_finite
+    would add wrapper state and break resume). metrics['grads_finite'] is
+    1.0 on good steps.
+    """
+    finite = jnp.all(
+        jnp.asarray([jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)])
+    )
+    safe_grads = jax.tree.map(lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+    updates, new_opt = tx.update(safe_grads, state.opt_state, state.params)
+    updates = jax.tree.map(lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates)
+    new_opt = jax.tree.map(
+        lambda n, o: jnp.where(finite, n, o), new_opt, state.opt_state
+    )
+    metrics["grads_finite"] = finite.astype(jnp.float32)
+    return optax.apply_updates(state.params, updates), new_opt
 
 
 def _batch_loss_and_grads(
@@ -281,6 +305,13 @@ def _batch_loss_and_grads(
         metrics = {
             f"psnr_{mod}": psnr(outputs[mod], targets[mod]) for mod in config.modalities
         }
+        if outputs.get("gradients") is not None:
+            # forensic: a min near 0 flags all-dead-activation samples (the
+            # eikonal NaN-gradient failure mode, r4 rehearsal step 44.3K)
+            g = outputs["gradients"]
+            metrics["min_grad_norm"] = jnp.sqrt(
+                jnp.min(jnp.sum(g * g, axis=-1))
+            )
         return total, (losses, metrics)
 
     n = config.datamanager.num_rays_per_modality
@@ -351,8 +382,7 @@ def make_fused_train_fn(
             config, model, cameras, grid, state.params, batch, step, schedules,
             rng_model, rng_loss, mesh,
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        params, opt_state = _guarded_update(tx, grads, state, metrics)
         losses["total_loss"] = total
         return (
             TrainState(params=params, opt_state=opt_state, step=step + 1),

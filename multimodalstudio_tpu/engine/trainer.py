@@ -229,16 +229,27 @@ class Trainer:
         # a multiple of k, or re-running a finished job — just gets a short
         # first chunk to realign.
         start = self.step_start
+        prev_auxes: list = []
         while start < config.max_num_iterations:
             kc = min(k - start % k, config.max_num_iterations - start)
             step = start + kc - 1
+            auxes = []  # device scalars; kept un-synced unless an abort hits
             with TimeWriter(self.writer, ITER_TRAIN_TIME, step) as t:
                 for _ in range(kc):  # async chain; one sync per chunk
                     self.state, aux = self.fused_train(self.state, self.rng)
+                    auxes.append(aux)
                 jax.block_until_ready(self.state.params["model"])
             self.writer.buffer.times[ITER_TRAIN_TIME][-1] = t.duration / kc
             self.writer.put_time(TRAIN_RAYS_PER_SEC, kc * n_rays_step / t.duration, step)
+            # NaN forensics: _host_cadences sees only the chunk's last step, by
+            # which point a divergence 1-499 steps earlier has poisoned every
+            # component. Walk the chunk (plus the previous one) to the FIRST
+            # non-finite step and report its full loss breakdown.
+            self._aux_window = list(
+                zip(range(start - len(prev_auxes), start + kc), prev_auxes + auxes)
+            )
             self._host_cadences(step + 1, aux)
+            prev_auxes = auxes
             start += kc
 
     def _train_per_step(self):
@@ -273,10 +284,27 @@ class Trainer:
             if not math.isfinite(total):
                 # abort rather than silently training on NaN for the rest of
                 # a (possibly 100K-step) run; the newest checkpoint predates
-                # the divergence so auto-resume can restart from it
+                # the divergence so auto-resume can restart from it. Dump
+                # every component so the offending loss is identifiable
+                # without a re-run.
+                first_step, first_aux = step - 1, aux
+                for s, a in getattr(self, "_aux_window", []):
+                    if not math.isfinite(float(a["losses"]["total_loss"])):
+                        first_step, first_aux = s, a
+                        break
+                comps = "  ".join(
+                    f"{k}={float(v):.6g}"
+                    for k, v in sorted(jax.tree.map(float, first_aux["losses"]).items())
+                )
+                mets = "  ".join(
+                    f"{k}={float(v):.6g}"
+                    for k, v in sorted(jax.tree.map(float, first_aux["metrics"]).items())
+                )
                 raise FloatingPointError(
                     f"total_loss is {total} at step {step} — aborting the "
-                    "run (last checkpoint is the newest saved step)"
+                    "run (last checkpoint is the newest saved step)\n"
+                    f"  first non-finite step: {first_step}\n"
+                    f"  losses: {comps}\n  metrics: {mets}"
                 )
 
         self.eval_cadences(step)

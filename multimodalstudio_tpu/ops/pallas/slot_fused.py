@@ -73,7 +73,9 @@ from multimodalstudio_tpu.ops.pallas.slot_grid import (
     FEAT,
     NSLOT,
     SlotGridSpec,
+    _dot_b,
     _dot_hl,
+    _dotg_b,
     _dotg_hl,
     _expand_matrix,
     _hi_lo,
@@ -89,6 +91,13 @@ class SlotGeom:
     dense: Tuple[bool, ...]  # per-level dense (collision-free) indexing
     interp: str  # Smoothstep | Linear
     radius: float  # grid half-extent: x = clip((pos + r) / 2r, 0, 1-1e-6)
+    ents: Tuple[int, ...] = ()  # per-level ENTRY count (hash mask = ents-1)
+    feats: int = FEAT  # features per entry; P = 128/(8*feats) entries/row
+    bf16: bool = False  # single-bf16 table dots (vs f32 hi/lo split)
+
+    @property
+    def pk(self) -> int:
+        return LANE // (NSLOT * self.feats)
 
 
 def _make_geom(gspec: SlotGridSpec, k: int, radius: float) -> SlotGeom:
@@ -100,6 +109,9 @@ def _make_geom(gspec: SlotGridSpec, k: int, radius: float) -> SlotGeom:
         dense=tuple(r ** 3 <= gspec.rows_per_level for r in res),
         interp=gspec.interpolation,
         radius=float(radius),
+        ents=tuple(int(e) for e in gspec.level_entries[:k]),
+        feats=gspec.feats,
+        bf16=gspec.table_dtype == "bf16",
     )
 
 
@@ -116,46 +128,80 @@ class SlotChainSpec:
     geom: SlotGeom  # in-kernel geometry
 
 
-def _gather_onehot(idx, lv, tblh_ref, tbll_ref, b):
-    """One-hot MXU gather: comp [B, K*128] f32. idx columns are per-level
-    RELATIVE rows (in-kernel geometry emits them offset-free)."""
+def _split_entry(idx, pk):
+    """Absolute/relative ENTRY index -> (physical row, entry group)."""
+    if pk == 1:
+        return idx, None
+    shift = pk.bit_length() - 1
+    return jax.lax.shift_right_logical(idx, shift), jnp.bitwise_and(idx, pk - 1)
+
+
+def _entry_iota(b, pk):
+    """[b, 128] entry-group id of each lane (128/pk lanes per entry)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (b, LANE), 1) // (LANE // pk)
+
+
+def _gather_onehot(idx, lv, tblh_ref, tbll_ref, b, pk=1):
+    """One-hot MXU gather: GATED comp [B, K*128] f32. idx columns are
+    per-level RELATIVE entry indices (in-kernel geometry emits them
+    offset-free); the one-hot runs over PHYSICAL rows (pk entries packed
+    per row) and each sample's entry group gates the lanes, so packed
+    neighbours never leak into the trilerp. tbll_ref None = bf16 table."""
+    phys, grp = _split_entry(idx, pk)
     iotas = {
         rl: jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
         for rl in {rl for _, rl in lv}
     }
+    ent = _entry_iota(b, pk) if pk > 1 else None
     cols = []
     for l, (off, rl) in enumerate(lv):
-        oh = (iotas[rl] == idx[:, l : l + 1]).astype(jnp.bfloat16)
+        oh = (iotas[rl] == phys[:, l : l + 1]).astype(jnp.bfloat16)
         th = tblh_ref[pl.ds(off, rl), :]
-        tl = tbll_ref[pl.ds(off, rl), :]
-        cols.append(
-            jnp.dot(oh, th, preferred_element_type=jnp.float32)
-            + jnp.dot(oh, tl, preferred_element_type=jnp.float32)
-        )
+        row = jnp.dot(oh, th, preferred_element_type=jnp.float32)
+        if tbll_ref is not None:
+            tl = tbll_ref[pl.ds(off, rl), :]
+            row = row + jnp.dot(oh, tl, preferred_element_type=jnp.float32)
+        if pk > 1:
+            row = row * (ent == grp[:, l : l + 1]).astype(jnp.float32)
+        cols.append(row)
     return jnp.concatenate(cols, axis=-1)
 
 
-def _scatter_onehot(idx, lv, dtbl_ref, d_comp, b, first):
+def _scatter_onehot(idx, lv, dtbl_ref, d_comp, b, first, pk=1, bf16=False):
     """MXU scatter-add of d_comp [B, K*128] into dtbl_ref [R, 128]
-    (idx per-level relative)."""
+    (idx per-level relative ENTRY indices). d_comp is expected gated to
+    each sample's entry-group lanes (the gated comp residual and gated
+    weight expansions keep it so); gate again here only when pk > 1 to
+    stay safe against ungated terms."""
 
     @pl.when(first)
     def _():
         dtbl_ref[:] = jnp.zeros_like(dtbl_ref)
 
+    phys, grp = _split_entry(idx, pk)
     dn0 = (((0,), (0,)), ((), ()))
     iotas = {
         rl: jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
         for rl in {rl for _, rl in lv}
     }
+    ent = _entry_iota(b, pk) if pk > 1 else None
     for l, (off, rl) in enumerate(lv):
-        oh = (iotas[rl] == idx[:, l : l + 1]).astype(jnp.bfloat16)
-        uh, ul = _hi_lo(d_comp[:, l * LANE : (l + 1) * LANE])
-        d = jax.lax.dot_general(
-            oh, uh, dimension_numbers=dn0, preferred_element_type=jnp.float32
-        ) + jax.lax.dot_general(
-            oh, ul, dimension_numbers=dn0, preferred_element_type=jnp.float32
-        )
+        oh = (iotas[rl] == phys[:, l : l + 1]).astype(jnp.bfloat16)
+        u_l = d_comp[:, l * LANE : (l + 1) * LANE]
+        if pk > 1:
+            u_l = u_l * (ent == grp[:, l : l + 1]).astype(jnp.float32)
+        if bf16:
+            d = jax.lax.dot_general(
+                oh, u_l.astype(jnp.bfloat16),
+                dimension_numbers=dn0, preferred_element_type=jnp.float32,
+            )
+        else:
+            uh, ul = _hi_lo(u_l)
+            d = jax.lax.dot_general(
+                oh, uh, dimension_numbers=dn0, preferred_element_type=jnp.float32
+            ) + jax.lax.dot_general(
+                oh, ul, dimension_numbers=dn0, preferred_element_type=jnp.float32
+            )
         dtbl_ref[pl.ds(off, rl), :] = dtbl_ref[pl.ds(off, rl), :] + d
 
 
@@ -179,16 +225,17 @@ def _const_row(vals, col, dtype=jnp.float32):
 
 
 def _geom_rows(geom: SlotGeom, lv, pos):
-    """Per-level table rows from raw positions: idx [B, K] int32 in
-    [0, rows_l) (RELATIVE — no level offset), plus per-axis grid coords
-    g [3][B, 1] f32 (clipped) and clip gates gate [3][B, 1] f32 for the
-    backward chain rule. int32 multiply wraps mod 2^32, so the XOR hash
-    matches slot_geometry's uint32 math bit for bit."""
+    """Per-level table ENTRY indices from raw positions: idx [B, K] int32
+    in [0, entries_l) (RELATIVE — no level offset; the gather splits into
+    physical row >> log2(P) and entry group & P-1), plus per-axis grid
+    coords g [3][B, 1] f32 (clipped) and clip gates gate [3][B, 1] f32 for
+    the backward chain rule. int32 multiply wraps mod 2^32, so the XOR
+    hash matches slot_geometry's uint32 math bit for bit."""
     K = len(geom.res)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
     res_row = _const_row([float(r) for r in geom.res], col)
     resi_row = _const_row(list(geom.res), col, jnp.int32)
-    mask_row = _const_row([rl - 1 for _, rl in lv], col, jnp.int32)
+    mask_row = _const_row([e - 1 for e in geom.ents], col, jnp.int32)
     dense_row = _const_row([1 if d else 0 for d in geom.dense], col, jnp.int32)
 
     r = geom.radius
@@ -276,16 +323,20 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
-    kf = K * FEAT
+    geom = spec.geom
+    kf = K * geom.feats
     pw = spec.pe_width
     f, _, _ = _act_triple(inner)
-    geom = spec.geom
+    dotv = _dot_b if geom.bf16 else _dot_hl
+    dotgv = _dotg_b if geom.bf16 else _dotg_hl
 
     p = 0
     pos_ref = refs[p]; p += 1
     m_ref = refs[p]; p += 1  # coarse-to-fine mask [1, K*F]
     tblh_ref = refs[p]; p += 1
-    tbll_ref = refs[p]; p += 1
+    tbll_ref = None
+    if not geom.bf16:
+        tbll_ref = refs[p]; p += 1
     s_ref = refs[p]; p += 1
     p_ref = refs[p]; p += 1
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
@@ -296,16 +347,16 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     b = pos_ref.shape[0]
     cs = 1.0 / (2.0 * geom.radius)
 
-    # grid: in-kernel geometry + gather + trilerp
+    # grid: in-kernel geometry + gather + trilerp (comp is entry-gated)
     idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
     w, wa, dwa = _geom_weights(geom, g, order=1)
-    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b)
+    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b, geom.pk)
     comp = comp_ref[:]
     s_mat = s_ref[:]
     p_mat = p_ref[:]
     m = m_ref[:]
-    wexp = _dot_hl(w, p_mat)
-    encg = _dot_hl(comp * wexp, s_mat) * m  # [B, K*F]
+    wexp = dotv(w, p_mat)
+    encg = dotv(comp * wexp, s_mat) * m  # [B, K*F]
 
     # NeRF encoding (exact-width via encspec: no pad inside)
     h0pe, _, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
@@ -338,12 +389,12 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     grad3 = _enc_jt(spec.encspec, sin_p, cos_p, adj[:, :pw])[:, :3]
     adjg = adj[:, pw : pw + kf] * m  # fold the c2f mask into the adjoint
     dn_t = (((1,), (1,)), ((), ()))
-    adjS = _dotg_hl(adjg, s_mat, dn_t)  # [B, K*128]
+    adjS = dotgv(adjg, s_mat, dn_t)  # [B, K*128]
     gcols = []
     for k in range(3):
         u, v = (k + 1) % 3, (k + 2) % 3
         dw_k = (dwa[k] * wa[u] * wa[v]) * cs  # [B, wc] (no clip gate: tenc semantics)
-        dwexp_k = _dot_hl(dw_k, p_mat)
+        dwexp_k = dotv(dw_k, p_mat)
         gcols.append(jnp.sum(comp * dwexp_k * adjS, axis=-1, keepdims=True))
     grad3 = grad3 + jnp.concatenate(gcols, axis=-1)
 
@@ -375,13 +426,15 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
-    kf = K * FEAT
+    geom = spec.geom
+    kf = K * geom.feats
     pw = spec.pe_width
     P0 = inner.in_dims[0]
     DL = inner.out_dims[-1]
     c = inner.tangent_out_channel
     f, df, ddf = _act_triple(inner)
-    geom = spec.geom
+    dotv = _dot_b if geom.bf16 else _dot_hl
+    dotgv = _dotg_b if geom.bf16 else _dotg_hl
     first = pl.program_id(0) == 0
 
     p = 0
@@ -417,8 +470,8 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     for k in range(3):
         u, v = (k + 1) % 3, (k + 2) % 3
         dw_rows.append((dwa[k] * wa[u] * wa[v]) * cs)
-    wexp = _dot_hl(w, p_mat)
-    encg = _dot_hl(comp * wexp, s_mat) * m
+    wexp = dotv(w, p_mat)
+    encg = dotv(comp * wexp, s_mat) * m
     h0pe, t0pe, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:])
     pad = P0 - pw - kf
     x0 = jnp.concatenate(
@@ -455,13 +508,13 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     d_comp = jnp.zeros((b, K * LANE), jnp.float32)
     d_dws = []
     for k in range(3):
-        dwexp_k = _dot_hl(dw_rows[k], p_mat)
-        tenc_k = _dot_hl(comp * dwexp_k, s_mat) * m
+        dwexp_k = dotv(dw_rows[k], p_mat)
+        tenc_k = dotv(comp * dwexp_k, s_mat) * m
         ga_g = ga_g + g3[:, k : k + 1] * tenc_k
         # d/d(comp o dwexp_k) of <g3_k * adj_g, tenc_k>
-        gck = _dotg_hl(g3[:, k : k + 1] * adjg, s_mat, dn_t)  # [B, K*128]
+        gck = dotgv(g3[:, k : k + 1] * adjg, s_mat, dn_t)  # [B, K*128]
         d_comp = d_comp + gck * dwexp_k
-        d_dws.append(_dot_hl(comp * gck, s2))  # [B, K*8] cotangent on dw_k
+        d_dws.append(dotv(comp * gck, s2))  # [B, K*8] cotangent on dw_k
     ga = jnp.concatenate(
         [ga_pe, ga_g] + ([jnp.zeros((b, pad), jnp.float32)] if pad else []), axis=-1
     )
@@ -552,10 +605,12 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
 
     # ---- grid slice of the input cotangent -> slot backward
     g_enc = ghin[:, pw : pw + kf] * m
-    gt0 = _dotg_hl(g_enc, s_mat, dn_t)  # [B, K*128]
+    gt0 = dotgv(g_enc, s_mat, dn_t)  # [B, K*128]
     d_comp = d_comp + gt0 * wexp
-    d_w = _dot_hl(comp * gt0, s2)  # [B, K*8] cotangent on w
-    _scatter_onehot(idx, spec.lv, dtbl_ref, d_comp, b, first)
+    d_w = dotv(comp * gt0, s2)  # [B, K*8] cotangent on w
+    _scatter_onehot(
+        idx, spec.lv, dtbl_ref, d_comp, b, first, geom.pk, geom.bf16
+    )
 
     # ---- position cotangent: PE Jacobian transpose + the encoding-Hessian
     # term of the grad3 output (g3_k * <adj_pe, enc''_k>) + the trilerp
@@ -591,7 +646,8 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     assert n_total % B == 0
     grid = (n_total // B,)
     K = spec.levels
-    kf = K * FEAT
+    bf16 = spec.geom.bf16
+    kf = K * spec.geom.feats
     G = inner.geo_width
 
     def blk(shape):
@@ -600,6 +656,7 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     pos_spec = blk((B, LANE))
     m_spec = _const_spec((1, kf))
     tbl_spec = _const_spec((spec.rows, LANE))
+    tbl_specs = [tbl_spec] if bf16 else [tbl_spec, tbl_spec]
     s_spec = _const_spec((K * LANE, kf))
     s2_spec = _const_spec((K * LANE, K * NSLOT))
     p_spec = _const_spec((K * NSLOT, K * LANE))
@@ -612,7 +669,7 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     fwd_call = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, m_spec, tbl_spec, tbl_spec, s_spec, p_spec]
+        in_specs=[pos_spec, m_spec] + tbl_specs + [s_spec, p_spec]
         + w_specs + b_specs,
         out_specs=[sg_spec, geo_spec, comp_spec],
         out_shape=[
@@ -655,27 +712,31 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
         interpret=interpret,
     )
 
-    s1m, s2m = (x.astype(jnp.bfloat16) for x in _sum_matrices(K))
-    pm = _expand_matrix(K).astype(jnp.bfloat16)
+    s1m, s2m = (x.astype(jnp.bfloat16) for x in _sum_matrices(K, spec.geom.feats))
+    pm = _expand_matrix(K, spec.geom.feats).astype(jnp.bfloat16)
+
+    def _tbl_ops(table):
+        hi = table.astype(jnp.bfloat16)
+        if bf16:
+            return (hi,)
+        return hi, (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     @jax.custom_vjp
     def op(pos, mask, table, wps, bps):
-        hi = table.astype(jnp.bfloat16)
-        lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sg, geo, _ = fwd_call(
-                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
+                pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
+                *wbs, *bps,
             )
         return sg, geo
 
     def op_fwd(pos, mask, table, wps, bps):
-        hi = table.astype(jnp.bfloat16)
-        lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sg, geo, comp = fwd_call(
-                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
+                pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
+                *wbs, *bps,
             )
         return (sg, geo), (pos, mask, comp, wps, bps)
 
@@ -738,7 +799,7 @@ def fused_slot_sdf_chain(
         block = int(_os.environ.get("MMS_SLOT_BLOCK", "0")) or DEFAULT_BLOCK
     n = positions.shape[0]
     K = gspec.num_levels
-    kf = K * FEAT
+    kf = K * gspec.feats
     pw = 3 + 6 * num_frequencies
     d_in = pw + kf
     d_out = weights[-1].shape[1]
@@ -807,16 +868,19 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
-    kf = K * FEAT
+    geom = spec.geom
+    kf = K * geom.feats
     pw = spec.pe_width
     f, _, _ = _act_triple(inner)
-    geom = spec.geom
+    dotv = _dot_b if geom.bf16 else _dot_hl
 
     p = 0
     pos_ref = refs[p]; p += 1
     m_ref = refs[p]; p += 1
     tblh_ref = refs[p]; p += 1
-    tbll_ref = refs[p]; p += 1
+    tbll_ref = None
+    if not geom.bf16:
+        tbll_ref = refs[p]; p += 1
     s_ref = refs[p]; p += 1
     p_ref = refs[p]; p += 1
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
@@ -826,10 +890,10 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
     b = pos_ref.shape[0]
     idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
     w = _geom_weights(geom, g)
-    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b)
+    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b, geom.pk)
     comp = comp_ref[:]
-    wexp = _dot_hl(w, p_ref[:])
-    encg = _dot_hl(comp * wexp, s_ref[:]) * m_ref[:]
+    wexp = dotv(w, p_ref[:])
+    encg = dotv(comp * wexp, s_ref[:]) * m_ref[:]
 
     h0pe, _, _, _ = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
     pad = inner.in_dims[0] - pw - kf
@@ -854,12 +918,14 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
-    kf = K * FEAT
+    geom = spec.geom
+    kf = K * geom.feats
     pw = spec.pe_width
     P0 = inner.in_dims[0]
     DL = inner.out_dims[-1]
     f, df, _ = _act_triple(inner)
-    geom = spec.geom
+    dotv = _dot_b if geom.bf16 else _dot_hl
+    dotgv = _dotg_b if geom.bf16 else _dotg_hl
     first = pl.program_id(0) == 0
 
     p = 0
@@ -886,8 +952,8 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     # rebuild geometry + x0 + primal chain (z residuals in scratch)
     idx, g, gate = _geom_rows(geom, spec.lv, pos_ref[:])
     w, wa, dwa = _geom_weights(geom, g, order=1)
-    wexp = _dot_hl(w, p_mat)
-    encg = _dot_hl(comp * wexp, s_mat) * m
+    wexp = dotv(w, p_mat)
+    encg = dotv(comp * wexp, s_mat) * m
     h0pe, _, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
     pad = P0 - pw - kf
     x0 = jnp.concatenate(
@@ -950,10 +1016,12 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     ghin = gh + gx0  # [B, P0] cotangent on x0
 
     g_enc = ghin[:, pw : pw + kf] * m
-    gt0 = _dotg_hl(g_enc, s_mat, dn_t)  # [B, K*128]
+    gt0 = dotgv(g_enc, s_mat, dn_t)  # [B, K*128]
     d_comp = gt0 * wexp
-    d_w = _dot_hl(comp * gt0, s2_ref[:])  # [B, K*8] cotangent on w
-    _scatter_onehot(idx, spec.lv, dtbl_ref, d_comp, b, first)
+    d_w = dotv(comp * gt0, s2_ref[:])  # [B, K*8] cotangent on w
+    _scatter_onehot(
+        idx, spec.lv, dtbl_ref, d_comp, b, first, geom.pk, geom.bf16
+    )
     gpos = _fold_pos_cotangent(geom, g, gate, wa, dwa, None, d_w, None)
     gx_ref[:] = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw]) + jnp.concatenate(
         gpos + [jnp.zeros((b, LANE - 3), jnp.float32)], axis=-1
@@ -967,7 +1035,8 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     assert n_total % B == 0
     grid = (n_total // B,)
     K = spec.levels
-    kf = K * FEAT
+    bf16 = spec.geom.bf16
+    kf = K * spec.geom.feats
 
     def blk(shape):
         return pl.BlockSpec(shape, lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -975,6 +1044,7 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     pos_spec = blk((B, LANE))
     m_spec = _const_spec((1, kf))
     tbl_spec = _const_spec((spec.rows, LANE))
+    tbl_specs = [tbl_spec] if bf16 else [tbl_spec, tbl_spec]
     s_spec = _const_spec((K * LANE, kf))
     s2_spec = _const_spec((K * LANE, K * NSLOT))
     p_spec = _const_spec((K * NSLOT, K * LANE))
@@ -986,7 +1056,7 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     fwd_call = pl.pallas_call(
         functools.partial(_value_fwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, m_spec, tbl_spec, tbl_spec, s_spec, p_spec]
+        in_specs=[pos_spec, m_spec] + tbl_specs + [s_spec, p_spec]
         + w_specs + b_specs,
         out_specs=[sdf_spec, comp_spec],
         out_shape=[
@@ -1023,27 +1093,31 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
         interpret=interpret,
     )
 
-    s1m, s2m = (x.astype(jnp.bfloat16) for x in _sum_matrices(K))
-    pm = _expand_matrix(K).astype(jnp.bfloat16)
+    s1m, s2m = (x.astype(jnp.bfloat16) for x in _sum_matrices(K, spec.geom.feats))
+    pm = _expand_matrix(K, spec.geom.feats).astype(jnp.bfloat16)
+
+    def _tbl_ops(table):
+        hi = table.astype(jnp.bfloat16)
+        if bf16:
+            return (hi,)
+        return hi, (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     @jax.custom_vjp
     def op(pos, mask, table, wps, bps):
-        hi = table.astype(jnp.bfloat16)
-        lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sdf, _ = fwd_call(
-                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
+                pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
+                *wbs, *bps,
             )
         return sdf
 
     def op_fwd(pos, mask, table, wps, bps):
-        hi = table.astype(jnp.bfloat16)
-        lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             sdf, comp = fwd_call(
-                pos, mask, hi, lo, jnp.asarray(s1m), jnp.asarray(pm), *wbs, *bps,
+                pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
+                *wbs, *bps,
             )
         return sdf, (pos, mask, comp, wps, bps)
 
@@ -1060,7 +1134,7 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
         gx, d_tbl = outs[0], outs[1]
         gws = tuple(outs[2 : 2 + L])
         gbs = tuple(outs[2 + L : 2 + 2 * L])
-        d_mask = jnp.zeros((1, spec.levels * FEAT), jnp.float32)
+        d_mask = jnp.zeros((1, kf), jnp.float32)
         return gx, d_mask, d_tbl, gws, gbs
 
     op.defvjp(op_fwd, op_bwd)
@@ -1110,9 +1184,9 @@ def fused_slot_sdf_value(
         if num_levels is None
         else min(int(num_levels), gspec.num_levels)
     )
-    kf = K * FEAT
+    kf = K * gspec.feats
     pw = 3 + 6 * num_frequencies
-    d_in = pw + gspec.num_levels * FEAT  # full MLP input width (all levels)
+    d_in = pw + gspec.num_levels * gspec.feats  # full MLP input width (all levels)
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
     n_pad = _rup(n, block)

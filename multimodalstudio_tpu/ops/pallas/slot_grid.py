@@ -34,6 +34,15 @@ Two layouts (SlotGridSpec.layout):
     row copy per (sample, level); the backward is ONE scatter-add.
   - Row index = dense cell indexing when res^3 fits the row budget, else
     the XOR hash on the cell coordinate.
+  - PACKED ENTRIES (round 4, `feats` < 16): with F features per entry a
+    whole trilerp neighbourhood needs only 8*F lanes, so one 128-lane
+    physical row packs P = 128/(8F) independent ENTRIES (tcnn's default is
+    F=2 -> P=8). The one-hot matmul gathers the PHYSICAL row (entries/P
+    rows per level -> P-fold fewer MACs per entry at equal capacity); the
+    per-sample entry-within-row selection is a lane mask (iota compare
+    against the entry-group id) multiplied into the composed rows — no
+    extra matmuls, no lane shuffles. Entry index e = hash & (entries-1);
+    physical row = e >> log2(P); group = e & (P-1).
   - Corner values are per-cell parameters: the field is trilinear INSIDE
     each cell but not C^0 across cell faces (adjacent cells own separate
     copies of their shared corners, and hashed levels alias whole cells).
@@ -87,10 +96,19 @@ class SlotGridSpec:
     num_levels: int = 6
     min_res: int = 16
     max_res: int = 512
-    rows_per_level: int = 2048
+    rows_per_level: int = 2048  # ENTRY budget per level (power of two)
     hash_init_scale: float = 1e-4
     interpolation: str = "Smoothstep"  # Smoothstep | Linear
     layout: str = "vertex"  # vertex (exact C^0) | cell (1 copy/sample-level)
+    # Features per entry (tcnn n_features_per_level, reference
+    # encodings.py:48-67 default 2). feats < 16 packs P = 128/(8*feats)
+    # entries per physical row (cell+onehot only): the one-hot matmul cost
+    # per entry drops P-fold at equal capacity.
+    feats: int = FEAT
+    # "f32": table split bf16 hi+lo per MXU dot (~f32-exact, 2 matmuls).
+    # "bf16": single bf16 dot per gather/scatter — half the MACs; matches
+    # tcnn's fp16 tables (master params stay f32, gradients accumulate f32).
+    table_dtype: str = "f32"
     # Row-access strategy for the cell layout:
     #   "copy"   — scalar-core row copies / scatter-RMWs (one per
     #              sample-level). Bound by the v5e copy-issue rate.
@@ -113,6 +131,18 @@ class SlotGridSpec:
             raise ValueError(f"unknown slot-grid gather {self.gather!r}")
         if self.gather == "onehot" and self.layout != "cell":
             raise ValueError("gather='onehot' requires layout='cell'")
+        if self.feats not in (2, 4, 8, 16):
+            raise ValueError("feats must be one of 2, 4, 8, 16")
+        if self.feats != FEAT and (
+            self.layout != "cell" or self.resolved_gather != "onehot"
+        ):
+            raise ValueError("packed entries (feats<16) need layout='cell' onehot")
+        if self.table_dtype not in ("f32", "bf16"):
+            raise ValueError(f"unknown table_dtype {self.table_dtype!r}")
+        if self.table_dtype == "bf16" and self.resolved_gather != "onehot":
+            raise ValueError("table_dtype='bf16' requires the onehot gather")
+        if self.rows_per_level < self.entries_per_row:
+            raise ValueError("rows_per_level must be >= entries per row")
 
     @property
     def resolved_gather(self) -> str:
@@ -121,8 +151,13 @@ class SlotGridSpec:
         return self.gather
 
     @property
+    def entries_per_row(self) -> int:
+        """Independent hash entries packed into one 128-lane physical row."""
+        return LANE // (NSLOT * self.feats)
+
+    @property
     def features_per_level(self) -> int:
-        return FEAT
+        return self.feats
 
     @property
     def growth_factor(self) -> float:
@@ -138,7 +173,8 @@ class SlotGridSpec:
         return np.floor(self.min_res * self.growth_factor ** levels).astype(np.int32)
 
     @property
-    def level_rows(self) -> np.ndarray:
+    def level_entries(self) -> np.ndarray:
+        """ENTRY count per level (dense when the grid fits the budget)."""
         if self.layout == "cell":
             dense = self.resolutions.astype(np.int64) ** 3
         else:
@@ -147,6 +183,12 @@ class SlotGridSpec:
         return np.where(dense <= self.rows_per_level, dense, self.rows_per_level).astype(
             np.int64
         )
+
+    @property
+    def level_rows(self) -> np.ndarray:
+        """PHYSICAL 128-lane row count per level (= entries / entries_per_row)."""
+        p = self.entries_per_row
+        return (self.level_entries + p - 1) // p
 
     @property
     def level_offsets(self) -> np.ndarray:
@@ -162,7 +204,7 @@ class SlotGridSpec:
 
     @property
     def out_dim(self) -> int:
-        return self.num_levels * FEAT
+        return self.num_levels * self.feats
 
 
 # ---------------------------------------------------------- host geometry
@@ -185,8 +227,9 @@ def slot_geometry(
     k = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
     n = x.shape[0]
     res = spec.resolutions[:k]
-    rows = spec.level_rows[:k]
-    offs = spec.level_offsets[:k]
+    ents = spec.level_entries[:k]
+    offs = spec.level_offsets[:k]  # physical-row offsets
+    pk = spec.entries_per_row
     cell = spec.layout == "cell"
     gdims = (res // 2 + 1).astype(np.int64)
     dense_level = (
@@ -223,7 +266,7 @@ def slot_geometry(
     b = jnp.clip(
         base.astype(jnp.int32), 0, jnp.asarray((res - 1).astype(np.int32))[None, :, None]
     )  # [N, K, 3]
-    hash_mask = jnp.asarray((rows - 1).astype(np.uint32))  # [K]
+    hash_mask = jnp.asarray((ents - 1).astype(np.uint32))  # [K] entry mask
     dense_sel = jnp.asarray(dense_level)  # [K] bool
 
     def _hash(coord):  # coord [..., K, 3] uint32 -> [..., K]
@@ -233,12 +276,14 @@ def slot_geometry(
         return h
 
     if cell:
-        # one row per cell; lane slot p = corner offset bits
+        # one ENTRY per cell; lane slot p = corner offset bits. idx is the
+        # ABSOLUTE entry index (physical_row_offset * entries_per_row + e):
+        # kernels derive physical row (>> log2 P) and entry group (& P-1).
         rr = jnp.asarray(res.astype(np.int32))  # [K]
         row_dense = b[..., 0] + (b[..., 1] + b[..., 2] * rr[None, :]) * rr[None, :]
         row_hash = (_hash(b.astype(jnp.uint32)) & hash_mask[None, :]).astype(jnp.int32)
         row = jnp.where(dense_sel[None, :], row_dense, row_hash)
-        idx = row + jnp.asarray(offs.astype(np.int32))[None, :]  # [N, K]
+        idx = row + jnp.asarray((offs * pk).astype(np.int32))[None, :]  # [N, K]
         d8 = jnp.broadcast_to(pb_all[None, None], (n, k, NSLOT, 3))  # [N, K, 8, 3]
     else:
         par = b & 1
@@ -275,28 +320,31 @@ def slot_geometry(
 
 
 @functools.lru_cache(maxsize=None)
-def _sum_matrices(levels: int):
-    """S  [levels*128, levels*FEAT]: slot-sum (lane l*128 + f*8 + p -> out
-    l*FEAT + f); S2 [levels*128, levels*8]: per-slot sum (-> out l*8 + p)."""
+def _sum_matrices(levels: int, feats: int = FEAT):
+    """S  [levels*128, levels*feats]: slot-sum (lane l*128 + e*8F + f*8 + p
+    -> out l*feats + f, for EVERY packed entry e — the per-sample entry
+    selection happens via the lane gate on the composed rows);
+    S2 [levels*128, levels*8]: per-slot sum (-> out l*8 + p)."""
     c = np.arange(levels * LANE)
     lev = c // LANE
     lane = c % LANE
-    f = lane // NSLOT
+    f = (lane % (NSLOT * feats)) // NSLOT
     p = lane % NSLOT
-    o1 = np.arange(levels * FEAT)
-    s1 = ((lev[:, None] == o1[None] // FEAT) & (f[:, None] == o1[None] % FEAT))
+    o1 = np.arange(levels * feats)
+    s1 = ((lev[:, None] == o1[None] // feats) & (f[:, None] == o1[None] % feats))
     o2 = np.arange(levels * NSLOT)
     s2 = ((lev[:, None] == o2[None] // NSLOT) & (p[:, None] == o2[None] % NSLOT))
     return s1.astype(np.float32), s2.astype(np.float32)
 
 
 @functools.lru_cache(maxsize=None)
-def _expand_matrix(levels: int):
+def _expand_matrix(levels: int, feats: int = FEAT):
     """P [levels*8, levels*128]: lane-expands per-slot weight columns
-    (col l*8+p spreads to lanes l*128 + f*8 + p for every feature f), so
-    the whole block's weight expansion is ONE small MXU matmul instead of
-    per-group pltpu.repeat (measured ~4x slower from [8, 8] sub-vreg
-    sources) or 8 lane-broadcast FMAs per (group, level)."""
+    (col l*8+p spreads to lanes l*128 + e*8F + f*8 + p for every packed
+    entry e and feature f), so the whole block's weight expansion is ONE
+    small MXU matmul instead of per-group pltpu.repeat (measured ~4x
+    slower from [8, 8] sub-vreg sources) or 8 lane-broadcast FMAs per
+    (group, level)."""
     r = np.arange(levels * NSLOT)
     c = np.arange(levels * LANE)
     return (
@@ -338,7 +386,33 @@ def _dot_hl(x, m):
     return jnp.dot(hi, m, **kw) + jnp.dot(lo, m, **kw)
 
 
-def _fwd_kernel(levels, n_tang, want_comp, cell, lv, onehot, *refs):
+def _dot_b(x, m):
+    """Single-bf16 dot (table_dtype='bf16'): half the MACs of _dot_hl."""
+    return jnp.dot(
+        x.astype(jnp.bfloat16), m, preferred_element_type=jnp.float32
+    )
+
+
+def _dotg_b(x, m, dn):
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), m,
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+
+
+def _split_entry(idx, pk):
+    """Absolute entry index -> (physical row, entry group within row)."""
+    if pk == 1:
+        return idx, None
+    shift = pk.bit_length() - 1
+    return jax.lax.shift_right_logical(idx, shift), jnp.bitwise_and(idx, pk - 1)
+
+
+def _entry_iota(b):
+    return jax.lax.broadcasted_iota(jnp.int32, (b, LANE), 1)
+
+
+def _fwd_kernel(levels, n_tang, want_comp, cell, lv, onehot, pk, tdt, *refs):
     q = 0
     idx_ref = refs[q]; q += 1
     w_ref = refs[q]; q += 1
@@ -347,7 +421,9 @@ def _fwd_kernel(levels, n_tang, want_comp, cell, lv, onehot, *refs):
         dw_ref = refs[q]; q += 1
     if onehot:
         tblh_ref = refs[q]; q += 1
-        tbll_ref = refs[q]; q += 1
+        tbll_ref = None
+        if not tdt:
+            tbll_ref = refs[q]; q += 1
     else:
         tbl_ref = refs[q]; q += 1
     s_ref = refs[q]; q += 1
@@ -371,22 +447,28 @@ def _fwd_kernel(levels, n_tang, want_comp, cell, lv, onehot, *refs):
     cdst = comp_ref if want_comp else comp_scr
 
     if onehot:
-        # MXU gather: comp_l = onehot(idx_l) @ T_l, with T split bf16
-        # hi/lo (the one-hot matrix is exact in bf16). Replaces the
-        # scalar-core copy loop — dense matmul instead of per-row issue.
-        idx = idx_ref[:]
+        # MXU gather: comp_l = onehot(phys_l) @ T_l over PHYSICAL rows
+        # (pk entries packed per row -> pk-fold fewer MACs per entry); the
+        # per-sample entry group gates the lanes at write time, so the
+        # composed-row residual is already entry-selected. f32 tables are
+        # hi/lo-split per dot (exact 0/1 one-hot); bf16 tables use one dot.
+        phys, grp = _split_entry(idx_ref[:], pk)
         iotas = {
             rl: jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
             for rl in {rl for _, rl in lv}
         }  # shared across levels (usually one distinct row budget)
+        ent = _entry_iota(b) // (LANE // pk) if pk > 1 else None
         for l, (off, rl) in enumerate(lv):
-            rel = idx[:, l : l + 1] - off  # [b, 1]
+            rel = phys[:, l : l + 1] - off  # [b, 1]
             oh = (iotas[rl] == rel).astype(jnp.bfloat16)
             th = tblh_ref[pl.ds(off, rl), :]
-            tl = tbll_ref[pl.ds(off, rl), :]
-            cdst[:, pl.ds(l * LANE, LANE)] = jnp.dot(
-                oh, th, preferred_element_type=jnp.float32
-            ) + jnp.dot(oh, tl, preferred_element_type=jnp.float32)
+            row = jnp.dot(oh, th, preferred_element_type=jnp.float32)
+            if not tdt:
+                tl = tbll_ref[pl.ds(off, rl), :]
+                row = row + jnp.dot(oh, tl, preferred_element_type=jnp.float32)
+            if pk > 1:
+                row = row * (ent == grp[:, l : l + 1]).astype(jnp.float32)
+            cdst[:, pl.ds(l * LANE, LANE)] = row
     elif cell:
         # stage each 8-sample group through g_scr: Mosaic supports [1, 128]
         # stores at dynamic sublanes only at lane offset 0, and [8, 128]
@@ -427,12 +509,13 @@ def _fwd_kernel(levels, n_tang, want_comp, cell, lv, onehot, *refs):
     comp = cdst[:]
     s_mat = s_ref[:]
     p_mat = p_ref[:]
-    ew = levels * FEAT
+    ew = s_mat.shape[1]  # levels * feats
     # S and P are exact 0/1 matrices; under the onehot path every dot runs
-    # bf16 with the value operand hi/lo-split (numerically ~f32-exact)
-    dot = _dot_hl if onehot else functools.partial(
+    # bf16 with the value operand hi/lo-split (numerically ~f32-exact) or,
+    # in bf16 table mode, a single bf16 dot (tcnn fp16-table parity)
+    dot = ((_dot_b if tdt else _dot_hl) if onehot else functools.partial(
         jnp.dot, preferred_element_type=jnp.float32
-    )
+    ))
     wexp = dot(w_ref[:], p_mat)
     enc_ref[:] = dot(comp * wexp, s_mat)
     for t in range(n_tang):
@@ -450,7 +533,7 @@ def _dotg_hl(x, m, dn):
     return jax.lax.dot_general(hi, m, **kw) + jax.lax.dot_general(lo, m, **kw)
 
 
-def _bwd_kernel(levels, n_tang, cell, lv, onehot, *refs):
+def _bwd_kernel(levels, n_tang, cell, lv, onehot, pk, tdt, *refs):
     """Backward: no table access at all — the fwd's residual `comp`
     carries everything the weight gradients need, and the scatter values
     are pure functions of the cotangents and trilerp weights. Dense phase
@@ -483,7 +566,7 @@ def _bwd_kernel(levels, n_tang, cell, lv, onehot, *refs):
     b = idx_ref.shape[0]
     wc = levels * NSLOT
     ll = levels * LANE
-    ew = levels * FEAT
+    ew = s_ref.shape[1]  # levels * feats
     first = pl.program_id(0) == 0
 
     @pl.when(first)
@@ -498,8 +581,8 @@ def _bwd_kernel(levels, n_tang, cell, lv, onehot, *refs):
     comp = comp_ref[:]
     dn_t = (((1,), (1,)), ((), ()))
     if onehot:
-        dot = _dot_hl
-        dotg = _dotg_hl
+        dot = _dot_b if tdt else _dot_hl
+        dotg = _dotg_b if tdt else _dotg_hl
     else:
         dot = functools.partial(jnp.dot, preferred_element_type=jnp.float32)
         dotg = functools.partial(
@@ -514,23 +597,35 @@ def _bwd_kernel(levels, n_tang, cell, lv, onehot, *refs):
         u = u + gtk * dot(dw_ref[:, pl.ds(t * wc, wc)], p_mat)
 
     if onehot:
-        # MXU scatter-add: d_tbl_l += onehot(idx_l)^T-contraction with U_l
-        # (dot_general over the sample dim — no transpose materialized)
-        idx = idx_ref[:]
+        # MXU scatter-add: d_tbl_l += onehot(phys_l)^T-contraction with U_l
+        # (dot_general over the sample dim — no transpose materialized).
+        # U is gated to the sample's entry-group lanes so packed neighbours
+        # in the same physical row receive nothing.
+        phys, grp = _split_entry(idx_ref[:], pk)
         dn0 = (((0,), (0,)), ((), ()))
         iotas = {
             rl: jax.lax.broadcasted_iota(jnp.int32, (b, rl), 1)
             for rl in {rl for _, rl in lv}
         }
+        ent = _entry_iota(b) // (LANE // pk) if pk > 1 else None
         for l, (off, rl) in enumerate(lv):
-            rel = idx[:, l : l + 1] - off
+            rel = phys[:, l : l + 1] - off
             oh = (iotas[rl] == rel).astype(jnp.bfloat16)
-            uh, ul = _hi_lo(u[:, l * LANE : (l + 1) * LANE])
-            d = jax.lax.dot_general(
-                oh, uh, dimension_numbers=dn0, preferred_element_type=jnp.float32
-            ) + jax.lax.dot_general(
-                oh, ul, dimension_numbers=dn0, preferred_element_type=jnp.float32
-            )
+            u_l = u[:, l * LANE : (l + 1) * LANE]
+            if pk > 1:
+                u_l = u_l * (ent == grp[:, l : l + 1]).astype(jnp.float32)
+            if tdt:
+                d = jax.lax.dot_general(
+                    oh, u_l.astype(jnp.bfloat16),
+                    dimension_numbers=dn0, preferred_element_type=jnp.float32,
+                )
+            else:
+                uh, ul = _hi_lo(u_l)
+                d = jax.lax.dot_general(
+                    oh, uh, dimension_numbers=dn0, preferred_element_type=jnp.float32
+                ) + jax.lax.dot_general(
+                    oh, ul, dimension_numbers=dn0, preferred_element_type=jnp.float32
+                )
             dtbl_ref[pl.ds(off, rl), :] = dtbl_ref[pl.ds(off, rl), :] + d
     elif cell:
         u_scr[:] = u
@@ -572,10 +667,10 @@ def _bwd_kernel(levels, n_tang, cell, lv, onehot, *refs):
 @functools.lru_cache(maxsize=None)
 def _build_calls(
     levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot,
-    want_comp=False,
+    feats=FEAT, pk=1, tdt=False, want_comp=False,
 ):
     w_cols = levels * NSLOT
-    enc_w = levels * FEAT
+    enc_w = levels * feats
     idx_cols = levels if cell else w_cols
     grid = (n_total // block,)
 
@@ -596,7 +691,7 @@ def _build_calls(
     fwd_in = (
         [idx_spec, w_spec]
         + ([dw_spec] if n_tang else [])
-        + ([tbl_spec, tbl_spec] if onehot else [tbl_spec])
+        + ([tbl_spec, tbl_spec] if onehot and not tdt else [tbl_spec])
         + [s_spec, p_spec]
     )
     fwd_out = (
@@ -624,7 +719,9 @@ def _build_calls(
         else [pltpu.VMEM((levels * (8 if cell else NSLOT * 8), LANE), jnp.float32)]
     )
     fwd_call = pl.pallas_call(
-        functools.partial(_fwd_kernel, levels, n_tang, want_comp, cell, lv, onehot),
+        functools.partial(
+            _fwd_kernel, levels, n_tang, want_comp, cell, lv, onehot, pk, tdt
+        ),
         grid=grid,
         in_specs=fwd_in,
         out_specs=fwd_out,
@@ -656,7 +753,7 @@ def _build_calls(
         [] if onehot else [pltpu.VMEM((block, levels * LANE), jnp.float32)]
     )
     bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, levels, n_tang, cell, lv, onehot),
+        functools.partial(_bwd_kernel, levels, n_tang, cell, lv, onehot, pk, tdt),
         grid=grid,
         in_specs=bwd_in,
         out_specs=bwd_out,
@@ -669,11 +766,14 @@ def _build_calls(
 
 
 @functools.lru_cache(maxsize=None)
-def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
+def _lookup_fn(
+    levels, rows, block, interpret, n_tang, cell, lv, onehot,
+    feats=FEAT, pk=1, tdt=False,
+):
     """custom_vjp op over padded arrays: (table, idx, w[, dw]) -> enc[, tenc]."""
     mat_dt = jnp.bfloat16 if onehot else jnp.float32
-    s1, s2 = (m.astype(mat_dt) for m in _sum_matrices(levels))
-    pm = _expand_matrix(levels).astype(mat_dt)
+    s1, s2 = (m.astype(mat_dt) for m in _sum_matrices(levels, feats))
+    pm = _expand_matrix(levels, feats).astype(mat_dt)
 
     # all onehot-path dots run bf16 operands (hi/lo-split values against
     # exact 0/1 matrices); the Trainer's global f32 matmul precision would
@@ -690,6 +790,8 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
         if not onehot:
             return (table,)
         hi = table.astype(jnp.bfloat16)
+        if tdt:
+            return (hi,)
         lo = (table - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         return (hi, lo)
 
@@ -699,7 +801,8 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
         def op(table, idx, w, dw):
             n_total = idx.shape[0]
             fwd_call, _ = _build_calls(
-                levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot
+                levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot,
+                feats, pk, tdt,
             )
             with prec():
                 enc, tenc = fwd_call(
@@ -713,7 +816,7 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
             n_total = idx.shape[0]
             fwd_call, _ = _build_calls(
                 levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot,
-                want_comp=True,
+                feats, pk, tdt, want_comp=True,
             )
             with prec():
                 enc, tenc, comp = fwd_call(
@@ -726,7 +829,8 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
             genc, gtenc = g
             n_total = idx.shape[0]
             _, bwd_call = _build_calls(
-                levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot
+                levels, n_tang, rows, block, n_total, interpret, cell, lv, onehot,
+                feats, pk, tdt,
             )
             with prec():
                 d_table, d_w, d_dw = bwd_call(
@@ -743,7 +847,7 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
     def op0(table, idx, w):
         n_total = idx.shape[0]
         fwd_call, _ = _build_calls(
-            levels, 0, rows, block, n_total, interpret, cell, lv, onehot
+            levels, 0, rows, block, n_total, interpret, cell, lv, onehot, feats, pk, tdt
         )
         with prec():
             return fwd_call(
@@ -753,7 +857,7 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
     def op0_fwd(table, idx, w):
         n_total = idx.shape[0]
         fwd_call, _ = _build_calls(
-            levels, 0, rows, block, n_total, interpret, cell, lv, onehot,
+            levels, 0, rows, block, n_total, interpret, cell, lv, onehot, feats, pk, tdt,
             want_comp=True,
         )
         with prec():
@@ -766,7 +870,7 @@ def _lookup_fn(levels, rows, block, interpret, n_tang, cell, lv, onehot):
         comp, idx, w = res
         n_total = idx.shape[0]
         _, bwd_call = _build_calls(
-            levels, 0, rows, block, n_total, interpret, cell, lv, onehot
+            levels, 0, rows, block, n_total, interpret, cell, lv, onehot, feats, pk, tdt
         )
         with prec():
             d_table, d_w = bwd_call(
@@ -824,20 +928,21 @@ def slot_grid_lookup(
         k, spec.total_rows, block, interpret,
         3 if with_tangents else 0, spec.layout == "cell", lv,
         spec.resolved_gather == "onehot",
+        spec.feats, spec.entries_per_row, spec.table_dtype == "bf16",
     )
     if with_tangents:
         enc, tenc2 = op(table, idx, w, dw)
-        # kernel emits tangents lane-folded [N, 3*k*FEAT] (2D layouts are
+        # kernel emits tangents lane-folded [N, 3*k*feats] (2D layouts are
         # ~2.2x faster through the operand path); unfold OUTSIDE the
         # custom_vjp so its transpose stays plain XLA
         enc = enc[:n]
-        tenc = tenc2[:n].reshape(n, 3, k * FEAT).transpose(1, 0, 2)
+        tenc = tenc2[:n].reshape(n, 3, k * spec.feats).transpose(1, 0, 2)
     else:
         enc = op(table, idx, w)[:n]
         tenc = None
 
     if k < spec.num_levels:
-        padf = (spec.num_levels - k) * FEAT
+        padf = (spec.num_levels - k) * spec.feats
         enc = jnp.pad(enc, ((0, 0), (0, padf)))
         if tenc is not None:
             tenc = jnp.pad(tenc, ((0, 0), (0, 0), (0, padf)))

@@ -27,10 +27,12 @@ N = int(os.environ.get("N", "16384"))
 SPEC = SlotGridSpec(
     num_levels=int(os.environ.get("LEVELS", "6")),
     min_res=16,
-    max_res=512,
-    rows_per_level=int(os.environ.get("ROWS", "2048")),
+    max_res=int(os.environ.get("MAXRES", "512")),
+    rows_per_level=int(os.environ.get("ROWS", "2048")),  # ENTRY budget
     layout=os.environ.get("LAYOUT", "vertex"),
     gather=os.environ.get("GATHER", "auto"),
+    feats=int(os.environ.get("FEATS", "16")),
+    table_dtype=os.environ.get("TDT", "f32"),
 )
 BLOCK = int(os.environ.get("BLOCK", "0"))
 

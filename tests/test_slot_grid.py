@@ -29,27 +29,52 @@ SPEC_CELL_OH = SlotGridSpec(
     num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell",
     gather="onehot",
 )
+# packed entries: feats < 16 packs 128/(8*feats) hash entries per physical
+# row (the round-4 gather-FLOP cut); bf16: single-dot table mode
+SPEC_PACKED2 = SlotGridSpec(
+    num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell",
+    gather="onehot", feats=2,
+)
+SPEC_PACKED4 = SlotGridSpec(
+    num_levels=3, min_res=4, max_res=16, rows_per_level=64, layout="cell",
+    gather="onehot", feats=4,
+)
 
 
 def reference_lookup(table, x, spec, num_levels=None):
     """Gather-based mirror of the slot-grid semantics (differentiable)."""
     k = min(num_levels, spec.num_levels) if num_levels is not None else spec.num_levels
     idx, w, _ = slot_geometry(x, spec, k)
-    rows = table[idx]  # [N, K*8, 128] (vertex) | [N, K, 128] (cell)
+    F = spec.feats
+    pk = spec.entries_per_row
+    if spec.layout == "cell" and pk > 1:
+        # idx is the absolute ENTRY index: pk entries pack per physical row
+        rows = table[idx // pk]  # [N, K, 128]
+        grp = idx % pk  # [N, K] entry group within the row
+    else:
+        rows = table[idx]  # [N, K*8, 128] (vertex) | [N, K, 128] (cell)
+        grp = None
     outs = []
     for l in range(k):
         feats = []
-        for f in range(FEAT):
+        for f in range(F):
             acc = 0.0
             for p in range(NSLOT):
                 col = l * NSLOT + p
                 row_col = l if spec.layout == "cell" else col
-                acc = acc + w[:, col] * rows[:, row_col, f * NSLOT + p]
+                if grp is None:
+                    v = rows[:, row_col, f * NSLOT + p]
+                else:
+                    lanes = grp[:, l] * (NSLOT * F) + f * NSLOT + p  # [N]
+                    v = jnp.take_along_axis(
+                        rows[:, row_col, :], lanes[:, None], axis=1
+                    )[:, 0]
+                acc = acc + w[:, col] * v
             feats.append(acc)
         outs.append(jnp.stack(feats, axis=-1))
     enc = jnp.concatenate(outs, axis=-1)
     if k < spec.num_levels:
-        enc = jnp.pad(enc, ((0, 0), (0, (spec.num_levels - k) * FEAT)))
+        enc = jnp.pad(enc, ((0, 0), (0, (spec.num_levels - k) * F)))
     return enc
 
 
@@ -71,7 +96,9 @@ import pytest
 
 
 @pytest.mark.parametrize(
-    "spec", [SPEC, SPEC_CELL, SPEC_CELL_OH], ids=["vertex", "cell", "cell_onehot"]
+    "spec",
+    [SPEC, SPEC_CELL, SPEC_CELL_OH, SPEC_PACKED2, SPEC_PACKED4],
+    ids=["vertex", "cell", "cell_onehot", "packed_f2", "packed_f4"],
 )
 class TestSlotGridLayouts:
     def test_forward_matches_reference(self, spec):
@@ -85,7 +112,7 @@ class TestSlotGridLayouts:
         enc = slot_grid_lookup(table, x, spec, num_levels=2)
         ref = reference_lookup(table, x, spec, num_levels=2)
         np.testing.assert_allclose(np.asarray(enc), np.asarray(ref), atol=1e-5)
-        assert np.abs(np.asarray(enc)[:, 2 * FEAT:]).max() == 0.0
+        assert np.abs(np.asarray(enc)[:, 2 * spec.feats:]).max() == 0.0
 
     def test_tangents_match_jacfwd_of_reference(self, spec):
         table, x = _setup(key=5, spec=spec)
@@ -196,6 +223,46 @@ class TestSlotGrid:
         go = jax.grad(loss, argnums=(0, 1))(table, x, SPEC_CELL_OH)
         assert _rel(go[0], gc[0]) < 3e-4
         assert _rel(go[1], gc[1]) < 3e-4
+
+    def test_bf16_table_mode(self):
+        """table_dtype='bf16' (single-dot, tcnn fp16-table parity): forward
+        tracks the f32 reference at bf16 resolution; gradients stay
+        directionally exact (the one-hot/S/P matrices are exact in bf16,
+        only value rounding differs)."""
+        spec = SlotGridSpec(
+            num_levels=3, min_res=4, max_res=16, rows_per_level=64,
+            layout="cell", gather="onehot", feats=2, table_dtype="bf16",
+        )
+        table, x = _setup(n=41, key=17, spec=spec)
+        enc, tenc = slot_grid_lookup(table, x, spec, with_tangents=True)
+        # reference with the table pre-rounded to bf16 (what the kernel sees)
+        tb = table.astype(jnp.bfloat16).astype(jnp.float32)
+        ref = reference_lookup(tb, x, spec)
+        assert _rel(enc, ref) < 2e-2
+        e = jnp.zeros_like(x).at[:, 0].set(1.0)
+        _, t_ref = jax.jvp(lambda q: reference_lookup(tb, q, spec), (x,), (e,))
+        assert _rel(tenc[0], t_ref) < 3e-2
+
+        def loss_kernel(t, q):
+            enc, tenc = slot_grid_lookup(t, q, spec, with_tangents=True)
+            return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(tenc))
+
+        def loss_ref(t, q):
+            enc = reference_lookup(t, q, spec)
+            tangs = [
+                jax.jvp(
+                    lambda p: reference_lookup(t, p, spec),
+                    (q,),
+                    (jnp.zeros_like(q).at[:, k].set(1.0),),
+                )[1]
+                for k in range(3)
+            ]
+            return jnp.sum(jnp.sin(enc)) + jnp.sum(jnp.cos(jnp.stack(tangs)))
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1))(table, x)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(tb, x)
+        assert _rel(g1[0], g2[0]) < 5e-2
+        assert _rel(g1[1], g2[1]) < 5e-2
 
     def test_vertex_sharing_continuity(self):
         """The same logical vertex reached from neighbouring cells maps to
