@@ -22,8 +22,12 @@ COLOR_PolarMono_EA construction), RegularGridInterpolator-style grid
 interpolation for multispectral. Channel ordering follows the scene's
 mosaick pattern, matching the model's channel indexing.
 
-LPIPS requires the `lpips` package (not bundled); it is skipped with a
-notice when unavailable (reference uses torch lpips).
+LPIPS is computed with the in-repo JAX implementation
+(multimodalstudio_tpu/utils/lpips_jax.py — AlexNet-LPIPS per the reference
+protocol). With vendored trained weights (scripts/vendor_lpips_weights.py)
+it is the paper-faithful metric; otherwise a documented deterministic
+rand-init fallback produces comparable-within-a-table scores, and the
+weight source is printed with the results.
 
 Usage:
     python scripts/evaluate_average_metrics.py \
@@ -67,26 +71,22 @@ def masked_ssim(pred, gt, mask):
 
 
 def try_lpips(pred, gt, mask):
-    try:
-        import lpips  # noqa: F401
-        import torch
-    except ImportError:
-        return None
-    net = try_lpips._net if hasattr(try_lpips, "_net") else lpips.LPIPS(net="alex")
-    try_lpips._net = net
+    # mask-zeroed inputs in [-1, 1], 3-channel, per the reference protocol
+    # (evaluate_average_metrics.py:173-191); >3-channel modalities score the
+    # channel mean replicated (reference :241-247).
+    from multimodalstudio_tpu.utils.lpips_jax import lpips
 
-    def to_t(x):
+    def to_img(x):
         x = x * mask
         if x.shape[-1] == 1:
             x = np.repeat(x, 3, -1)
         elif x.shape[-1] > 3:
-            # >3-channel modalities: score the channel mean, replicated
-            # (reference evaluate_average_metrics.py:241-247)
             x = np.repeat(x.mean(-1, keepdims=True), 3, -1)
-        return torch.from_numpy((x[..., :3] * 2 - 1).transpose(2, 0, 1)[None]).float()
+        return x[..., :3] * 2.0 - 1.0
 
-    with torch.no_grad():
-        return float(net(to_t(pred), to_t(gt)))
+    if min(pred.shape[0], pred.shape[1]) < 32:
+        return None  # below the 5-stage AlexNet receptive minimum
+    return float(lpips(to_img(pred), to_img(gt))[0])
 
 
 def regime_metrics(pred, gt, mask, rows, regime):
@@ -202,9 +202,18 @@ def main():
             results[mod]["psnr"] = results[mod]["psnr_rendered_demosaicked"]
             results[mod]["ssim"] = results[mod]["ssim_rendered_demosaicked"]
 
+    if any("lpips" in k for r in results.values() for k in r):
+        from multimodalstudio_tpu.utils.lpips_jax import weight_source
+
+        results["lpips_weights"] = weight_source()
+        if weight_source() == "randinit":
+            print(
+                "note: LPIPS scored with the deterministic rand-init fallback "
+                "(no vendored weights; see scripts/vendor_lpips_weights.py) — "
+                "comparable within this table, not to trained-LPIPS values",
+                file=sys.stderr,
+            )
     print(json.dumps(results, indent=2))
-    if not any("lpips" in k for r in results.values() for k in r):
-        print("note: lpips package unavailable — LPIPS skipped", file=sys.stderr)
     if args.out:
         with open(args.out, "w") as f:
             json.dump(results, f, indent=2)
