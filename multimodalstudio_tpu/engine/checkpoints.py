@@ -38,7 +38,9 @@ def save_checkpoint(
         {"params": state.params, "opt_state": state.opt_state, "step": np.asarray(step)},
         force=True,
     )
-    if keep_only_latest:
+    # prune on the primary process only (multihost: every process calls
+    # save — orbax coordinates the write — but fs mutation is rank 0's)
+    if keep_only_latest and jax.process_index() == 0:
         for name in os.listdir(ckpt_dir):
             m = _CKPT_RE.fullmatch(name)
             if m and int(m.group(1)) != step:

@@ -60,6 +60,11 @@ class Trainer:
         self.eval_dataset = eval_dataset
         self.output_dir = output_dir
         self.step_start = 0
+        # multi-host: host work (checkpoint save, eval renders, logging)
+        # is process-0's job, like the reference's rank-0 gating
+        # (src/utils/comms.py:21-77); every process still loads/restores
+        # state and runs the jitted steps in lockstep.
+        self.is_main = jax.process_index() == 0
 
         jax.config.update(
             "jax_default_matmul_precision",
@@ -149,9 +154,11 @@ class Trainer:
 
         self.writer = Writer(
             log_dir=self.output_dir,
-            use_tensorboard=config.logging.vis == "tensorboard" and self.output_dir,
-            use_wandb=config.logging.vis == "wandb" and self.output_dir is not None,
-            use_local=config.logging.local_writer,
+            use_tensorboard=config.logging.vis == "tensorboard"
+            and bool(self.output_dir) and self.is_main,
+            use_wandb=config.logging.vis == "wandb"
+            and self.output_dir is not None and self.is_main,
+            use_local=config.logging.local_writer and self.is_main,
             max_buffer_size=config.logging.max_buffer_size,
         )
 
@@ -163,7 +170,7 @@ class Trainer:
                 load_dir, self.state, config.load_step
             )
 
-        if self.output_dir is not None:
+        if self.output_dir is not None and self.is_main:
             with open(os.path.join(self.output_dir, "config.yaml"), "w") as f:
                 f.write(config_to_string(config))
 
@@ -180,6 +187,20 @@ class Trainer:
 
     def _ckpt_dir(self) -> str:
         return os.path.join(self.output_dir, "checkpoints")
+
+    def _host_state(self):
+        """State as this process can consume it alone.
+
+        Single-process: the live device state, untouched. Multi-host: the
+        replicated global arrays pulled to host numpy (legal on any process
+        for replicated shardings) so process-0-only consumers — orbax save,
+        evaluator renders, the eval batch step — never issue collectives
+        the other processes aren't participating in."""
+        if jax.process_count() == 1:
+            return self.state
+        from multimodalstudio_tpu.parallel.sharding import to_host
+
+        return to_host(self.state)
 
     def _fused_chunk(self) -> int:
         """Steps per fused dispatch: gcd of all active host cadences."""
@@ -212,6 +233,8 @@ class Trainer:
             self._train_fused()
         else:
             self._train_per_step()
+        # orbax save is multihost-aware (primary-host writes, all-process
+        # sync barriers) — every process must call it, never just rank 0
         if self.output_dir:
             checkpoints.save_checkpoint(
                 self._ckpt_dir(), self.state, self.config.save_only_latest_checkpoint
@@ -307,8 +330,10 @@ class Trainer:
                     f"  losses: {comps}\n  metrics: {mets}"
                 )
 
-        self.eval_cadences(step)
+        if self.is_main:
+            self.eval_cadences(step)
 
+        # all processes call save — orbax coordinates multihost internally
         if self.output_dir and check_step(step, config.steps_per_save):
             checkpoints.save_checkpoint(
                 self._ckpt_dir(), self.state, config.save_only_latest_checkpoint
@@ -321,8 +346,21 @@ class Trainer:
     def eval_cadences(self, step: int):
         """Cadenced eval work (reference base_pipeline.py:155-180)."""
         config = self.config
+        hits = any(
+            check_step(step, c)
+            for c in (
+                config.steps_per_eval_batch,
+                config.steps_per_eval_image,
+                config.steps_per_eval_all_images,
+                config.steps_per_export_mesh if config.evaluator.export_mesh else 0,
+                config.steps_per_export_poses if config.evaluator.export_poses else 0,
+            )
+        )
+        if not hits:
+            return
+        state = self._host_state()
         if self.eval_sampler and check_step(step, config.steps_per_eval_batch):
-            aux = self.eval_step(self.state, self.eval_sampler.sample(), self.rng)
+            aux = self.eval_step(state, self.eval_sampler.sample(), self.rng)
             self.writer.put_dict(
                 jax.tree.map(float, aux["metrics"]), step, prefix="eval/"
             )
@@ -338,7 +376,7 @@ class Trainer:
             n_rays = 0
             t0 = _time.perf_counter()
             for mod in config.modalities:
-                frames = self.evaluator.render_single_view(self.state, mod, 0)
+                frames = self.evaluator.render_single_view(state, mod, 0)
                 n_rays += frames[mod].shape[0] * frames[mod].shape[1]
                 metrics = self.evaluator.view_metrics(frames, mod)
                 self.writer.put_dict(metrics, step, prefix=f"eval_image/{mod}/")
@@ -349,24 +387,24 @@ class Trainer:
             dt = _time.perf_counter() - t0
             self.writer.put_time(TEST_RAYS_PER_SEC, n_rays / dt, step)
         if self._has_eval() and check_step(step, config.steps_per_eval_all_images):
-            results = self.evaluator.render_all_eval_views(self.state)
+            results = self.evaluator.render_all_eval_views(state)
             for mod, vals in results.items():
                 self.writer.put_dict(vals, step, prefix=f"eval_all/{mod}/")
         if config.evaluator.export_mesh and check_step(step, config.steps_per_export_mesh):
-            self.evaluator.export_mesh(self.state, step)
+            self.evaluator.export_mesh(state, step)
         if config.evaluator.export_poses and check_step(step, config.steps_per_export_poses):
-            self.evaluator.export_poses(self.state, step)
+            self.evaluator.export_poses(state, step)
 
     def eval(self, view_ids=None):
         """Full evaluation entry point (reference trainer.py:140-159):
         all eval views, or specific (train or eval) view ids."""
         if view_ids:
-            self.evaluator.render_specific_views(self.state, view_ids)
+            self.evaluator.render_specific_views(self._host_state(), view_ids)
             results = {}
         else:
-            results = self.evaluator.render_all_eval_views(self.state)
+            results = self.evaluator.render_all_eval_views(self._host_state())
         if self.config.evaluator.export_mesh:
-            self.evaluator.export_mesh(self.state, int(self.state.step))
+            self.evaluator.export_mesh(self._host_state(), int(self.state.step))
         if self.config.evaluator.export_poses:
-            self.evaluator.export_poses(self.state, int(self.state.step))
+            self.evaluator.export_poses(self._host_state(), int(self.state.step))
         return results

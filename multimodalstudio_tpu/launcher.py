@@ -101,6 +101,14 @@ def main(argv=None):
         os.environ.get("MMS_JAXCACHE", "/root/repo/.jaxcache"),
     )
 
+    # Multi-host (DCN): when MMS_COORDINATOR is set, join the process group
+    # before any JAX computation — jax.devices() becomes global and the
+    # Trainer's data mesh spans hosts (reference multi-node Fabric launch,
+    # src/engine/trainer.py:57-63).
+    from multimodalstudio_tpu.parallel.sharding import initialize_distributed
+
+    initialize_distributed()
+
     config = load_config(args.conf_path, method=args.method)
     if args.max_iterations:
         config = dataclasses.replace(config, max_num_iterations=args.max_iterations)
