@@ -51,11 +51,24 @@ def _look_at(position: np.ndarray, target: np.ndarray, up=np.array([0.0, 0.0, 1.
     return np.concatenate([np.stack([x, y, z], axis=-1), position[:, None]], axis=-1)
 
 
-def _shade(points: np.ndarray, normals: np.ndarray, mod: str) -> np.ndarray:
-    """Analytic per-modality appearance on the sphere surface."""
+def _shade(points: np.ndarray, normals: np.ndarray, mod: str,
+           tex_freq: float = 6.0) -> np.ndarray:
+    """Analytic per-modality appearance on the sphere surface.
+
+    `tex_freq` sets the albedo band frequency — the capacity stress knob
+    (VERDICT r3 #4): at 6.0 the sphere carries ~1 texture period (any table
+    resolves it); at 40+ the appearance has sub-centimeter detail that only
+    a high-capacity feature table can represent.
+    """
     lam = np.clip(normals @ _LIGHT, 0.0, 1.0)
-    # spatially varying albedo so texture is learnable
-    tex = 0.5 + 0.5 * np.sin(6.0 * points[..., 0]) * np.cos(6.0 * points[..., 1])
+    # spatially varying albedo so texture is learnable; the second
+    # (incommensurate, rotated) band keeps the pattern from aliasing into
+    # a low-frequency moiré that an undersized table could still fit
+    tex = 0.5 + 0.5 * np.sin(tex_freq * points[..., 0]) * np.cos(tex_freq * points[..., 1])
+    if tex_freq > 6.0:
+        tex = 0.5 * tex + 0.25 + 0.25 * np.sin(
+            tex_freq * 0.7071 * (points[..., 1] + points[..., 2]) + 1.3
+        )
     base = 0.15 + 0.75 * lam * tex
     if mod == "rgb":
         return np.stack([base, base * 0.8 + 0.1, base * 0.6 + 0.2], axis=-1)
@@ -86,7 +99,8 @@ def _background(dirs: np.ndarray, mod: str) -> np.ndarray:
 
 
 def render_view(c2w: np.ndarray, fx: float, fy: float, cx: float, cy: float,
-                height: int, width: int, mod: str) -> np.ndarray:
+                height: int, width: int, mod: str,
+                tex_freq: float = 6.0) -> np.ndarray:
     """Analytically ray-trace one view of the synthetic scene."""
     ys, xs = np.meshgrid(np.arange(height) + 0.5, np.arange(width) + 0.5, indexing="ij")
     cam_dirs = np.stack([(xs - cx) / fx, -(ys - cy) / fy, -np.ones_like(xs)], axis=-1)
@@ -104,7 +118,7 @@ def render_view(c2w: np.ndarray, fx: float, fy: float, cx: float, cy: float,
 
     points = oc + t[..., None] * dirs
     normals = points / _SPHERE_RADIUS
-    fg = _shade(points, normals, mod)
+    fg = _shade(points, normals, mod, tex_freq)
     bg = _background(dirs, mod)
     return np.where(hit[..., None], fg, bg).astype(np.float32)
 
@@ -116,6 +130,7 @@ def make_synthetic_dataset(
     width: int = 64,
     raw: bool = False,
     view_ids: Optional[Sequence[int]] = None,
+    tex_freq: float = 6.0,
 ) -> MMSDataset:
     """Build an in-memory MMSDataset of the analytic scene."""
     view_ids = list(view_ids) if view_ids is not None else list(range(num_views))
@@ -131,7 +146,8 @@ def make_synthetic_dataset(
                 [2.5 * np.cos(angle), 2.5 * np.sin(angle), 1.0 + 0.3 * np.sin(2 * angle)]
             )
             c2w = _look_at(pos, np.zeros(3))
-            img = render_view(c2w, fx, fy, cx, cy, height, width, mod)
+            img = render_view(c2w, fx, fy, cx, cy, height, width, mod,
+                              tex_freq=tex_freq)
             if raw:
                 mask = build_mosaick_mask(MOSAICK_PATTERNS[mod], height, width)
                 img = np.take_along_axis(img, mask[..., None].astype(np.int64), axis=-1)[..., :1]

@@ -7,7 +7,8 @@ TPU-native counterpart of reference src/launcher.py:19-32:
 
 `--scene` is the dataset directory holding meta_data.json (or `synthetic` /
 `synthetic_raw` for the built-in analytic scene; optional geometry suffix
-`synthetic_raw:views=36,size=128` controls view count / image size — every
+`synthetic_raw:views=36,size=128,texfreq=40` controls view count / image size
+/ texture frequency (the capacity stress knob) — every
 5th view is held out for eval, mirroring the reference eval_image_indices
 convention, confs/grid_raw.yaml:46).
 """
@@ -30,7 +31,7 @@ def build_datasets(config, scene: str):
         from multimodalstudio_tpu.data.synthetic import make_synthetic_dataset
 
         raw = config.datamanager.raw
-        views, size = 12, 96
+        views, size, texfreq = 12, 96, 6.0
         if ":" in scene:
             for kv in scene.split(":", 1)[1].split(","):
                 k, _, v = kv.partition("=")
@@ -38,15 +39,17 @@ def build_datasets(config, scene: str):
                     views = int(v)
                 elif k == "size":
                     size = int(v)
+                elif k == "texfreq":
+                    texfreq = float(v)
                 else:
                     raise ValueError(f"unknown synthetic scene option {kv!r}")
         train = make_synthetic_dataset(
             config.modalities, num_views=views, height=size, width=size, raw=raw,
-            view_ids=[i for i in range(views) if i % 5 != 4],
+            view_ids=[i for i in range(views) if i % 5 != 4], tex_freq=texfreq,
         )
         evald = make_synthetic_dataset(
             config.modalities, num_views=views, height=size, width=size, raw=raw,
-            view_ids=[i for i in range(views) if i % 5 == 4],
+            view_ids=[i for i in range(views) if i % 5 == 4], tex_freq=texfreq,
         )
         return train, evald
 
