@@ -383,6 +383,13 @@ def _grid_raw_tpu() -> TrainerConfig:
         # qc_grid_cell_stride4_r3) and the taps were the step's largest
         # gather population
         curvature_tap_stride=4,
+        # antipodal rotating-pair estimator: same trace(H)/3 expectation as
+        # the reference tetrahedron at half the tap queries (the taps were
+        # 18% of the r3 step profile, docs/performance.md §3d); the
+        # curvature loss averages ~40K strided samples per step so the
+        # extra per-sample variance is negligible (model.py
+        # curvature_hessian_taps)
+        curvature_taps=2,
         sampler_levels=4,
         surface_field=dc.replace(
             sf,

@@ -105,6 +105,16 @@ class SurfaceModelSpec:
     # (with backward) per sample and dominate the grid method's scalar-
     # gather budget. 1 = reference-exact.
     curvature_tap_stride: int = 1
+    # Taps per curvature sample: 4 = the reference tetrahedron
+    # (surface_model.py:137-153; sum k_i k_i^T = 4I so the estimate is
+    # trace(H)/3). 2 = antipodal pair +-k_j with k_j rotating through the
+    # tetrahedron directions by sample index: each sample measures
+    # k_j^T H k_j / 3, whose average over the 4-cycle is the same
+    # trace(H)/3 — an unbiased half-cost estimate of the same regularizer
+    # (higher per-sample variance; the curvature loss is a mean over
+    # ~160K samples per step, so the estimator noise is negligible
+    # against the batch average).
+    curvature_taps: int = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +191,39 @@ class ScheduleState:
     cos_anneal_ratio: jnp.ndarray  # [0, 1]
     active_level: jnp.ndarray  # int, coarse-to-fine hash-grid level
     numerical_delta: jnp.ndarray  # numerical-gradient epsilon
+
+
+def curvature_hessian_taps(sdf_fn, tap_pos, base_sdf, delta, n_taps: int):
+    """Numerical hessian-trace proxy for the curvature loss.
+
+    n_taps=4: the reference tetrahedron (surface_model.py:137-153) —
+    sum_i k_i k_i^T = 4I so hxx = trace(H)/3 exactly on a quadratic.
+    n_taps=2: antipodal pair +-k_j with k_j cycling through the tetrahedron
+    directions by sample index — each sample measures k_j^T H k_j / 3,
+    whose 4-cycle average is the same trace(H)/3, at half the tap queries.
+
+    Returns the [..., 3] per-axis hessian stack the curvature loss consumes
+    (hxx replicated / 3, matching the reference's H @ 1 / 3 shape).
+    """
+    d = delta / np.sqrt(3.0)
+    k = jnp.asarray(
+        [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]]
+    )
+    if n_taps == 2:
+        j = jnp.arange(tap_pos.shape[-2]) % 4
+        kj = k[j]  # [S, 3], broadcasts over leading ray dims
+        taps = jnp.stack([tap_pos + kj * d, tap_pos - kj * d], axis=-2)
+        with jax.named_scope("slot_taps"):
+            tap_sdf = sdf_fn(taps)  # [..., S, 2]
+        hxx = (jnp.sum(tap_sdf, axis=-1) - 2.0 * base_sdf) / delta**2
+    elif n_taps == 4:
+        taps = tap_pos[..., None, :] + k * d
+        with jax.named_scope("slot_taps"):
+            tap_sdf = sdf_fn(taps)  # [..., S, 4]
+        hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * base_sdf) / delta**2
+    else:
+        raise ValueError("curvature_taps must be 2 or 4")
+    return jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
 
 
 def _head_module(name: str, spec: HeadSpec, channels: int):
@@ -610,11 +653,6 @@ class MMSModel:
 
         hessians = None
         if train and spec.compute_hessian:
-            delta = schedules.numerical_delta
-            d = delta / np.sqrt(3.0)
-            k = jnp.asarray(
-                [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]]
-            )
             tap_pos, tap_base_sdf = positions, sdf
             stride = spec.curvature_tap_stride
             if stride > 1 and positions.ndim >= 3:
@@ -622,11 +660,13 @@ class MMSModel:
                 # (unbiased estimate of the reference's unweighted mean)
                 tap_pos = positions[..., ::stride, :]
                 tap_base_sdf = sdf[..., ::stride]
-            taps = tap_pos[..., None, :] + k * d
-            with jax.named_scope("slot_taps"):
-                tap_sdf = self.sdf_only(params, taps, lvl)
-            hxx = (jnp.sum(tap_sdf, axis=-1) / 2.0 - 2.0 * tap_base_sdf) / delta**2
-            hessians = jnp.stack([hxx, hxx, hxx], axis=-1) / 3.0
+            hessians = curvature_hessian_taps(
+                lambda q: self.sdf_only(params, q, lvl),
+                tap_pos,
+                tap_base_sdf,
+                schedules.numerical_delta,
+                spec.curvature_taps,
+            )
         return sdf, geo, gradients, hessians
 
     def _numerical_gradients_4tap(

@@ -342,6 +342,11 @@ class TestSlotGrid:
             surface = dc.replace(
                 cfg.model.surface,
                 curvature_tap_stride=stride,
+                # pin the 4-tap tetrahedron: the 2-tap estimator's rotating
+                # direction is keyed on the strided sample index, so dense
+                # and strided runs measure different directions at the same
+                # position (both unbiased; this test checks STRIDE semantics)
+                curvature_taps=4,
                 surface_field=dc.replace(sf, field=dc.replace(sf.field, grid=grid)),
             )
             return MMSModel(dc.replace(cfg.model, surface=surface))
@@ -360,6 +365,44 @@ class TestSlotGrid:
         np.testing.assert_allclose(
             np.asarray(h4), np.asarray(h1[:, ::4]), rtol=1e-5, atol=1e-5
         )
+
+    def test_curvature_two_tap_estimator(self):
+        """2-tap antipodal estimator (flagship): on a quadratic SDF the
+        4-sample cycle average equals the 4-tap tetrahedron's trace(H)/3
+        exactly, and each sample measures k_j^T H k_j / 3."""
+        from multimodalstudio_tpu.models.model import curvature_hessian_taps
+
+        A = jnp.asarray(
+            [[2.0, 0.3, -0.1], [0.3, -1.0, 0.5], [-0.1, 0.5, 4.0]]
+        )
+
+        def sdf_fn(q):  # exactly quadratic: hessian == A everywhere
+            return 0.5 * jnp.einsum("...i,ij,...j->...", q, A, q)
+
+        pos = jax.random.uniform(jax.random.key(3), (2, 8, 3), minval=-0.5, maxval=0.5)
+        base = sdf_fn(pos)
+        delta = 1e-2
+        h4 = curvature_hessian_taps(sdf_fn, pos, base, delta, 4)
+        h2 = curvature_hessian_taps(sdf_fn, pos, base, delta, 2)
+        tr9 = float(jnp.trace(A)) / 9.0  # hxx = tr(H)/3, stacked / 3
+        # 4-tap: trace(H)/9 per component, exactly (quadratic, no O(d^3))
+        np.testing.assert_allclose(np.asarray(h4[..., 0]), tr9, rtol=5e-3)
+        # 2-tap: k_j^T A k_j / 3 per sample j%4...
+        k = np.asarray(
+            [[1.0, -1.0, -1.0], [-1.0, -1.0, 1.0], [-1.0, 1.0, -1.0], [1.0, 1.0, 1.0]]
+        )
+        expected = np.asarray(
+            [k[j % 4] @ np.asarray(A) @ k[j % 4] / 9.0 for j in range(8)]
+        )
+        np.testing.assert_allclose(
+            np.asarray(h2[..., 0]), np.broadcast_to(expected, (2, 8)), rtol=5e-3
+        )
+        # ...and the 4-cycle average recovers trace(H)/3 = the 4-tap value
+        np.testing.assert_allclose(
+            float(h2[..., 0].mean()), tr9, rtol=5e-3
+        )
+        # all three axis slots carry the shared proxy, like the 4-tap form
+        np.testing.assert_allclose(np.asarray(h2[..., 1]), np.asarray(h2[..., 0]))
 
     def test_dense_vs_hashed_levels(self):
         rows = SPEC.level_rows
