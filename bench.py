@@ -27,6 +27,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jaxcache")
 
 
 def main():
+    from multimodalstudio_tpu.configs.config import apply_env_grid_overrides
     from multimodalstudio_tpu.configs.methods import method_configs
     from multimodalstudio_tpu.data.device_cache import build_device_cache
     from multimodalstudio_tpu.data.synthetic import make_synthetic_dataset
@@ -60,43 +61,7 @@ def main():
             cfg.datamanager, num_rays_per_modality=n_rays, microbatch_rays=micro
         ),
     )
-    # slot-grid geometry experiments (round 4): BENCH_GRID_FEATS packs
-    # 128/(8*feats) hash entries per physical row (the gather-FLOP cut),
-    # BENCH_GRID_ENTRIES sets the per-level entry budget, BENCH_GRID_DTYPE
-    # bf16 halves the table-dot MACs, BENCH_GRID_LEVELS the level count.
-    grid_over = {
-        k: os.environ[e]
-        for k, e in (
-            ("feats", "BENCH_GRID_FEATS"),
-            ("rows_per_level", "BENCH_GRID_ENTRIES"),
-            ("table_dtype", "BENCH_GRID_DTYPE"),
-            ("num_levels", "BENCH_GRID_LEVELS"),
-            ("max_res", "BENCH_GRID_MAXRES"),
-        )
-        if e in os.environ
-    }
-    if grid_over:
-        grid_over = {
-            k: (v if k == "table_dtype" else int(v)) for k, v in grid_over.items()
-        }
-        sf = cfg.model.surface.surface_field
-        enc = dataclasses.replace(sf.field.grid.encoding, **grid_over)
-        cfg = dataclasses.replace(
-            cfg,
-            model=dataclasses.replace(
-                cfg.model,
-                surface=dataclasses.replace(
-                    cfg.model.surface,
-                    surface_field=dataclasses.replace(
-                        sf,
-                        field=dataclasses.replace(
-                            sf.field,
-                            grid=dataclasses.replace(sf.field.grid, encoding=enc),
-                        ),
-                    ),
-                ),
-            ),
-        )
+    cfg = apply_env_grid_overrides(cfg)
 
     dataset = make_synthetic_dataset(modalities, num_views=10, height=256, width=256, raw=True)
     cache = build_device_cache(dataset)

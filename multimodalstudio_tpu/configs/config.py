@@ -187,6 +187,41 @@ def _apply_overrides(obj: Any, overrides: Dict[str, Any]) -> Any:
     return dataclasses.replace(obj, **updates)
 
 
+def apply_env_grid_overrides(
+    config: "TrainerConfig", prefix: str = "BENCH_GRID_"
+) -> "TrainerConfig":
+    """Slot-grid geometry overrides from env vars, shared by bench/profile.
+
+    FEATS packs 128/(8*feats) hash entries per physical row (the round-4
+    gather-FLOP cut), ENTRIES sets the per-level entry budget, DTYPE=bf16
+    halves the table-dot MACs, LEVELS/MAXRES the pyramid shape.
+    """
+    over = {
+        k: os.environ[prefix + e]
+        for k, e in (
+            ("feats", "FEATS"),
+            ("rows_per_level", "ENTRIES"),
+            ("table_dtype", "DTYPE"),
+            ("num_levels", "LEVELS"),
+            ("max_res", "MAXRES"),
+        )
+        if prefix + e in os.environ
+    }
+    if not over:
+        return config
+    over = {k: (v if k == "table_dtype" else int(v)) for k, v in over.items()}
+    return _apply_overrides(
+        config,
+        {
+            "model": {
+                "surface": {
+                    "surface_field": {"field": {"grid": {"encoding": over}}}
+                }
+            }
+        },
+    )
+
+
 def load_config(
     conf_path: Optional[str] = None,
     method: Optional[str] = None,

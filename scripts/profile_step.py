@@ -19,6 +19,7 @@ sys.path.insert(0, "/root/repo")
 
 
 def main():
+    from multimodalstudio_tpu.configs.config import apply_env_grid_overrides
     from multimodalstudio_tpu.configs.methods import method_configs
     from multimodalstudio_tpu.data.device_cache import build_device_cache
     from multimodalstudio_tpu.data.synthetic import make_synthetic_dataset
@@ -47,6 +48,7 @@ def main():
             cfg.datamanager, num_rays_per_modality=n_rays, microbatch_rays=micro
         ),
     )
+    cfg = apply_env_grid_overrides(cfg)
     ds = make_synthetic_dataset(modalities, num_views=10, height=256, width=256, raw=True)
     cache = build_device_cache(ds)
     cams = {m: ds.data[m].cameras for m in modalities}
@@ -59,7 +61,8 @@ def main():
         state, aux = fused(state, rng)
     jax.block_until_ready(state.params["model"])
 
-    trace_dir = f"/root/repo/prof_{method}_{n_rays}_{micro}"
+    tag = os.environ.get("PROF_TAG", "")
+    trace_dir = f"/root/repo/prof_{method}_{n_rays}_{micro}{('_' + tag) if tag else ''}"
     with jax.profiler.trace(trace_dir):
         for _ in range(3):
             state, aux = fused(state, rng)
