@@ -13,7 +13,7 @@
 set -u
 cd /root/repo
 
-for pidf in /tmp/rehearsal_mlp.pid /tmp/benchq.pid; do
+for pidf in /tmp/rehearsal_mlp.pid /tmp/benchq.pid /tmp/ladder.pid; do
   while [ -f "$pidf" ] && kill -0 "$(cat "$pidf")" 2>/dev/null; do sleep 60; done
 done
 
@@ -57,6 +57,14 @@ BASE
     "Capacity ladder arm ${name}: results" || true
 }
 
+# Arm order is decision priority: base6 is the comparator every other arm
+# is judged against (run it first so a truncated session still yields a
+# comparable pair), then the tcnn-shaped packed table (the promotion
+# candidate), then the curvature-estimator gate, then the capacity sweeps.
+arm base6 <<'EOF'
+# flagship table as shipped (6L x 512e x F16 f32), 2-tap curvature
+EOF
+
 arm packed16 <<'EOF'
 model:
   surface:
@@ -66,6 +74,13 @@ model:
           encoding: {feats: 2, table_dtype: bf16, rows_per_level: 2048, num_levels: 16, max_res: 2048}
 EOF
 
+arm base6_4tap <<'EOF'
+# curvature-estimator gate: identical to base6 but the reference 4-tap
+model:
+  surface:
+    curvature_taps: 4
+EOF
+
 arm packed6 <<'EOF'
 model:
   surface:
@@ -73,17 +88,6 @@ model:
       field:
         grid:
           encoding: {feats: 2, table_dtype: bf16, rows_per_level: 4096}
-EOF
-
-arm base6 <<'EOF'
-# flagship table as shipped (6L x 512e x F16 f32), 2-tap curvature
-EOF
-
-arm base6_4tap <<'EOF'
-# curvature-estimator gate: identical to base6 but the reference 4-tap
-model:
-  surface:
-    curvature_taps: 4
 EOF
 
 arm packed16big <<'EOF'
