@@ -14,7 +14,8 @@ run() {
 }
 run                                    # prod packed point (4096e F2 bf16 L6 3x128->257 pe6 b512)
 run ROWS=64                            # gather ~free -> gather share
-run NLAYERS=1                          # chain ~one layer -> chain share
+run NLAYERS=2                          # one hidden layer -> chain share
+                                       # (NLAYERS=1 invalid: no 128-wide hidden)
 run PEF=1                              # encoding ~free -> encoding share
 run DOUT=129                           # geo half-width
 run BLOCK=1024                         # MXU efficiency probe
