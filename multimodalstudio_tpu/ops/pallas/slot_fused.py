@@ -82,6 +82,10 @@ from multimodalstudio_tpu.ops.pallas.slot_grid import (
     _sum_matrices,
 )
 
+# Forward-kernel block default; 0 = follow the backward block. Overridable
+# per call (fwd_block=) or globally (MMS_SLOT_FWD_BLOCK).
+DEFAULT_FWD_BLOCK = 0
+
 
 @dataclasses.dataclass(frozen=True)
 class SlotGeom:
@@ -126,6 +130,12 @@ class SlotChainSpec:
     rows: int  # total table rows
     pe_width: int  # 3 + 6F
     geom: SlotGeom  # in-kernel geometry
+    # Forward-kernel block size; 0 = inner.block. The fwd and bwd
+    # pallas_calls have independent grids over the same HBM layout, and
+    # their VMEM working sets differ ~3x — the r4 ladder measured the fwd
+    # 1.9x faster at block 256 while the bwd prefers 512 (the per-block
+    # full-table scatter accumulation penalizes small bwd blocks).
+    fwd_block: int = 0
 
 
 def _split_entry(idx, pk):
@@ -643,7 +653,8 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
 def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     inner = spec.inner
     L, B = inner.n_layers, inner.block
-    assert n_total % B == 0
+    Bf = spec.fwd_block or B
+    assert n_total % B == 0 and n_total % Bf == 0
     grid = (n_total // B,)
     K = spec.levels
     bf16 = spec.geom.bf16
@@ -668,10 +679,10 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
 
     fwd_call = pl.pallas_call(
         functools.partial(_fused_fwd_kernel, spec),
-        grid=grid,
-        in_specs=[pos_spec, m_spec] + tbl_specs + [s_spec, p_spec]
+        grid=(n_total // Bf,),
+        in_specs=[blk((Bf, LANE)), m_spec] + tbl_specs + [s_spec, p_spec]
         + w_specs + b_specs,
-        out_specs=[sg_spec, geo_spec, comp_spec],
+        out_specs=[blk((Bf, LANE)), blk((Bf, G)), blk((Bf, K * LANE))],
         out_shape=[
             jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_total, G), jnp.bfloat16),
@@ -780,6 +791,7 @@ def fused_slot_sdf_chain(
     beta: float = 100.0,
     level_mask: Optional[jnp.ndarray] = None,
     block: int = 0,
+    fwd_block: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Fused slot-grid + NeRF-encoding + chain + adjoint SDF evaluation.
@@ -789,7 +801,8 @@ def fused_slot_sdf_chain(
     trilerp geometry in-kernel (no idx/w/dw operands).
     level_mask: optional [K*F] multiplier (coarse-to-fine), traced.
     Returns (sdf [N], geo [N, D_out-1] bf16, grad [N, 3] f32).
-    MMS_SLOT_BLOCK overrides the block size (perf experiments).
+    MMS_SLOT_BLOCK / MMS_SLOT_FWD_BLOCK override the backward/forward
+    block sizes (perf experiments); fwd_block 0 = DEFAULT_FWD_BLOCK.
     """
     import os as _os
 
@@ -797,6 +810,10 @@ def fused_slot_sdf_chain(
         interpret = jax.default_backend() != "tpu"
     if not block:
         block = int(_os.environ.get("MMS_SLOT_BLOCK", "0")) or DEFAULT_BLOCK
+    if not fwd_block:
+        fwd_block = (
+            int(_os.environ.get("MMS_SLOT_FWD_BLOCK", "0")) or DEFAULT_FWD_BLOCK or block
+        )
     n = positions.shape[0]
     K = gspec.num_levels
     kf = K * gspec.feats
@@ -805,7 +822,7 @@ def fused_slot_sdf_chain(
     d_out = weights[-1].shape[1]
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
-    n_pad = _rup(n, block)
+    n_pad = _rup(n, max(block, fwd_block))
     posp = (
         jnp.zeros((n_pad, LANE), jnp.float32)
         .at[:n, :3]
@@ -833,6 +850,7 @@ def fused_slot_sdf_chain(
         inner=inner, encspec=encspec, levels=K, lv=lv,
         rows=gspec.total_rows, pe_width=pw,
         geom=_make_geom(gspec, K, radius),
+        fwd_block=fwd_block if fwd_block != block else 0,
     )
 
     wps = tuple(
@@ -1032,7 +1050,8 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
 def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     inner = spec.inner
     L, B = inner.n_layers, inner.block
-    assert n_total % B == 0
+    Bf = spec.fwd_block or B
+    assert n_total % B == 0 and n_total % Bf == 0
     grid = (n_total // B,)
     K = spec.levels
     bf16 = spec.geom.bf16
@@ -1055,10 +1074,10 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
 
     fwd_call = pl.pallas_call(
         functools.partial(_value_fwd_kernel, spec),
-        grid=grid,
-        in_specs=[pos_spec, m_spec] + tbl_specs + [s_spec, p_spec]
+        grid=(n_total // Bf,),
+        in_specs=[blk((Bf, LANE)), m_spec] + tbl_specs + [s_spec, p_spec]
         + w_specs + b_specs,
-        out_specs=[sdf_spec, comp_spec],
+        out_specs=[blk((Bf, LANE)), blk((Bf, K * LANE))],
         out_shape=[
             jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
             jax.ShapeDtypeStruct((n_total, K * LANE), jnp.float32),
@@ -1158,6 +1177,7 @@ def fused_slot_sdf_value(
     level_mask: Optional[jnp.ndarray] = None,
     num_levels: Optional[int] = None,
     block: int = 0,
+    fwd_block: int = 0,
     interpret: Optional[bool] = None,
 ):
     """Fused slot-grid + NeRF-encoding + chain SDF **value** evaluation.
@@ -1178,6 +1198,10 @@ def fused_slot_sdf_value(
         interpret = jax.default_backend() != "tpu"
     if not block:
         block = int(_os.environ.get("MMS_SLOT_BLOCK", "0")) or DEFAULT_BLOCK
+    if not fwd_block:
+        fwd_block = (
+            int(_os.environ.get("MMS_SLOT_FWD_BLOCK", "0")) or DEFAULT_FWD_BLOCK or block
+        )
     n = positions.shape[0]
     K = (
         gspec.num_levels
@@ -1189,7 +1213,7 @@ def fused_slot_sdf_value(
     d_in = pw + gspec.num_levels * gspec.feats  # full MLP input width (all levels)
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
-    n_pad = _rup(n, block)
+    n_pad = _rup(n, max(block, fwd_block))
     posp = (
         jnp.zeros((n_pad, LANE), jnp.float32)
         .at[:n, :3]
@@ -1216,6 +1240,7 @@ def fused_slot_sdf_value(
         inner=inner, encspec=encspec, levels=K, lv=lv,
         rows=gspec.total_rows, pe_width=pw,
         geom=_make_geom(gspec, K, radius),
+        fwd_block=fwd_block if fwd_block != block else 0,
     )
 
     wps = tuple(
