@@ -136,6 +136,13 @@ class SlotChainSpec:
     # 1.9x faster at block 256 while the bwd prefers 512 (the per-block
     # full-table scatter accumulation penalizes small bwd blocks).
     fwd_block: int = 0
+    # MEASUREMENT ONLY (MMS_SLOT_ABLATE=sec,sec): statically drop backward
+    # sections to attribute kernel time. Sections: adj (adjoint-sweep
+    # rebuild), grid3 (grad3-output grid cotangents), gafwd (ga-forward
+    # chain), rev (reverse sweep), scatter (one-hot table scatter), fold
+    # (position-cotangent fold + enc hessian). Never set in production —
+    # ablated kernels compute wrong gradients.
+    ablate: Tuple[str, ...] = ()
 
 
 def _split_entry(idx, pk):
@@ -329,7 +336,14 @@ def _fold_pos_cotangent(geom, g, gate, wa, dwa, ddwa, d_w, d_dws):
     return cols  # [3][B, 1]
 
 
-def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
+def _fused_fwd_kernel(spec: SlotChainSpec, resid: bool, *refs):
+    """Forward; with resid=True also emits the backward's residual stacks
+    (pre-activations z, adjoint-sweep rows s, and the adjoint adj) so the
+    backward kernel never rebuilds the chain or re-runs the sweep — the
+    r4 ablation ladder measured the in-backward rebuild at ~3.4 of 4.3
+    ms/op while the identical ops run in this kernel at ~0.4 ms: the big
+    backward scheduled them serially, so they moved here (HBM cost of the
+    stacks is ~0.25 ms/65K samples)."""
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
@@ -352,16 +366,24 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
     sg_ref = refs[p]; p += 1
     geo_ref = refs[p]; p += 1
-    comp_ref = refs[p]
+    comp_ref = refs[p]; p += 1
+    zs_ref = ss_ref = adj_ref = None
+    if resid:
+        if L > 1:
+            zs_ref = refs[p]; p += 1
+            ss_ref = refs[p]; p += 1
+        adj_ref = refs[p]
 
     b = pos_ref.shape[0]
     cs = 1.0 / (2.0 * geom.radius)
 
-    # grid: in-kernel geometry + gather + trilerp (comp is entry-gated)
+    # grid: in-kernel geometry + gather + trilerp (comp is entry-gated).
+    # bf16 tables make the gathered rows bf16-exact, so the comp residual
+    # is stored bf16 (halves its HBM round-trip); f32 hi/lo tables keep f32.
     idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
     w, wa, dwa = _geom_weights(geom, g, order=1)
-    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b, geom.pk)
-    comp = comp_ref[:]
+    comp = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b, geom.pk)
+    comp_ref[:] = comp.astype(comp_ref.dtype)
     s_mat = s_ref[:]
     p_mat = p_ref[:]
     m = m_ref[:]
@@ -391,7 +413,16 @@ def _fused_fwd_kernel(spec: SlotChainSpec, *refs):
         else:
             h = z
 
-    adj = _adj_sweep(inner, wl, zs, b)  # [B, P0] f32
+    if resid:
+        H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+        s_rows = [None] * max(L - 1, 0)
+        adj = _adj_sweep(inner, wl, zs, b, s_store=s_rows)  # [B, P0] f32
+        for l in range(L - 1):
+            zs_ref[:, l * H : (l + 1) * H] = zs[l]
+            ss_ref[:, l * H : (l + 1) * H] = s_rows[l]
+        adj_ref[:] = adj
+    else:
+        adj = _adj_sweep(inner, wl, zs, b)  # [B, P0] f32
 
     # d sdf / d x: PE part through the encoding Jacobian, grid part through
     # the trilerp tangents: grad_k = <adj_g, tenc_k> computed lane-wise as
@@ -446,6 +477,7 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     dotv = _dot_b if geom.bf16 else _dot_hl
     dotgv = _dotg_b if geom.bf16 else _dotg_hl
     first = pl.program_id(0) == 0
+    ab = spec.ablate
 
     p = 0
     pos_ref = refs[p]; p += 1
@@ -453,6 +485,11 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     comp_ref = refs[p]; p += 1
     gsg_ref = refs[p]; p += 1
     ggeo_ref = refs[p]; p += 1
+    zs_ref = ss_ref = None
+    if L > 1:
+        zs_ref = refs[p]; p += 1
+        ss_ref = refs[p]; p += 1
+    adj_ref = refs[p]; p += 1
     s_ref = refs[p]; p += 1
     s2_ref = refs[p]; p += 1
     p_ref = refs[p]; p += 1
@@ -460,20 +497,27 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     gx_ref = refs[p]; p += 1
     dtbl_ref = refs[p]; p += 1
     gw_refs = refs[p : p + L]; gb_refs = refs[p + L : p + 2 * L]; p += 2 * L
-    z_scr = refs[p]; p += 1
-    s_scr = refs[p]; p += 1
     e_scr = refs[p]
+
+    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+
+    def zl(l):
+        return zs_ref[:, l * H : (l + 1) * H]
+
+    def sl(l):
+        return ss_ref[:, l * H : (l + 1) * H]
 
     b = pos_ref.shape[0]
     cs = 1.0 / (2.0 * geom.radius)
-    comp = comp_ref[:]
+    comp = comp_ref[:].astype(jnp.float32)
     s_mat = s_ref[:]
     s2 = s2_ref[:]
     p_mat = p_ref[:]
     m = m_ref[:]
     dn_t = (((1,), (1,)), ((), ()))
 
-    # ---- rebuild geometry + x0 (grid features from the comp residual)
+    # ---- geometry + x0 (grid features from the comp residual; the chain's
+    # z/s/adj residuals come from the forward kernel — no rebuild here)
     idx, g, gate = _geom_rows(geom, spec.lv, pos_ref[:])
     w, wa, dwa, ddwa = _geom_weights(geom, g, order=2)
     dw_rows = []
@@ -490,14 +534,10 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
         axis=-1,
     )
     wl = [ws[l][:] for l in range(L)]
-    h = x0
-    for l in range(L - 1):
-        if l in inner.skip:
-            h = (jnp.concatenate([h, x0], axis=-1) / np.sqrt(2.0)).astype(jnp.bfloat16)
-        z = jnp.dot(h, wl[l], preferred_element_type=jnp.float32) + bs[l][:]
-        z_scr[l] = z.astype(jnp.bfloat16)
-        h = f(z).astype(jnp.bfloat16)
-    adj = _adj_sweep(inner, wl, z_scr, b, s_store=s_scr)
+    if "adj" in ab:
+        adj = jnp.zeros((b, P0), jnp.float32)
+    else:
+        adj = adj_ref[:]
     adjg = adj[:, pw : pw + kf] * m
 
     # ---- incoming cotangents
@@ -512,26 +552,39 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     )
     g3 = gsg[:, 1:4]
 
-    # ---- ga (cotangent on adj) + the grad3 output's direct grid terms
+    # ---- ga (cotangent on adj) + the grad3 output's direct grid terms.
+    #
+    # The naive form is a k-loop of 4 dots each (dwexp_k, tenc_k, gck,
+    # d_dws_k) plus ~9 elementwise passes over [B, K*128]. But g3_k is a
+    # per-SAMPLE scalar, so it factors out of every lane contraction:
+    #   gck      = dotg(g3_k*adjg, S^T)        = g3_k * gc0,  gc0 = dotg(adjg, S^T)
+    #   d_dws_k  = dot(comp*gck, s2)           = g3_k * dd0,  dd0 = dot(comp*gc0, s2)
+    #   sum_k gck*dwexp_k                      = gc0 * dwg
+    # and dot linearity merges the k-sum BEFORE the expansion dot:
+    #   dwg = sum_k g3_k*dwexp_k = dot(sum_k g3_k*dw_rows_k, P)
+    #   ga_g = sum_k g3_k*tenc_k = dot(comp*dwg, S) * m
+    # -> 4 dots + 3 [B, K*8] FMAs total (was 12 dots; measured 2x on the
+    # whole backward, r4 ablation ladder in docs/performance.md §3e).
     ga_pe = sum(g3[:, k : k + 1] * t0pe[k].astype(jnp.float32) for k in range(3))
-    ga_g = jnp.zeros((b, kf), jnp.float32)
-    d_comp = jnp.zeros((b, K * LANE), jnp.float32)
-    d_dws = []
-    for k in range(3):
-        dwexp_k = dotv(dw_rows[k], p_mat)
-        tenc_k = dotv(comp * dwexp_k, s_mat) * m
-        ga_g = ga_g + g3[:, k : k + 1] * tenc_k
-        # d/d(comp o dwexp_k) of <g3_k * adj_g, tenc_k>
-        gck = dotgv(g3[:, k : k + 1] * adjg, s_mat, dn_t)  # [B, K*128]
-        d_comp = d_comp + gck * dwexp_k
-        d_dws.append(dotv(comp * gck, s2))  # [B, K*8] cotangent on dw_k
+    if "grid3" in ab:
+        ga_g = jnp.zeros((b, kf), jnp.float32)
+        d_comp = jnp.zeros((b, K * LANE), jnp.float32)
+        dd0 = jnp.zeros((b, K * NSLOT), jnp.float32)
+    else:
+        dwsum = sum(g3[:, k : k + 1] * dw_rows[k] for k in range(3))  # [B, K*8]
+        dwg = dotv(dwsum, p_mat)  # [B, K*128]
+        ga_g = dotv(comp * dwg, s_mat) * m  # [B, K*F]
+        gc0 = dotgv(adjg, s_mat, dn_t)  # [B, K*128]
+        d_comp = gc0 * dwg
+        dd0 = dotv(comp * gc0, s2)  # [B, K*8]
+    d_dws = [g3[:, k : k + 1] * dd0 for k in range(3)]
     ga = jnp.concatenate(
         [ga_pe, ga_g] + ([jnp.zeros((b, pad), jnp.float32)] if pad else []), axis=-1
     )
 
     # ---- ga-forward chain: adjoint-path weight grads + act'' injections
     q = ga
-    for l in range(L):
+    for l in range(L if "gafwd" not in ab else 0):
         qin = (
             (jnp.concatenate([q, ga], axis=-1) / np.sqrt(2.0))
             if l in inner.skip
@@ -541,7 +594,7 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
             colv = jax.lax.broadcasted_iota(jnp.int32, (b, DL), 1)
             v_l = (colv == c).astype(jnp.float32)
         else:
-            v_l = s_scr[l].astype(jnp.float32) * df(z_scr[l])
+            v_l = sl(l).astype(jnp.float32) * df(zl(l))
         gwd = jax.lax.dot_general(
             qin.astype(jnp.bfloat16), v_l.astype(jnp.bfloat16),
             dimension_numbers=(((0,), (0,)), ((), ())),
@@ -561,13 +614,13 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
             mq = jnp.dot(qin.astype(jnp.bfloat16), wl[l],
                          preferred_element_type=jnp.float32)
             if ddf is not None:
-                e_scr[l] = (mq * s_scr[l].astype(jnp.float32) * ddf(z_scr[l])).astype(
+                e_scr[l] = (mq * sl(l).astype(jnp.float32) * ddf(zl(l))).astype(
                     jnp.bfloat16
                 )
-            q = mq * df(z_scr[l])
+            q = mq * df(zl(l))
 
     def layer_input(l):
-        hin = x0 if l == 0 else f(z_scr[l - 1].astype(jnp.float32)).astype(jnp.bfloat16)
+        hin = x0 if l == 0 else f(zl(l - 1).astype(jnp.float32)).astype(jnp.bfloat16)
         if l in inner.skip:
             hin = (jnp.concatenate([hin, x0], axis=-1) / np.sqrt(2.0)).astype(
                 jnp.bfloat16
@@ -577,12 +630,12 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     # ---- standard reverse sweep with the e_l injections
     gx0 = jnp.zeros((b, P0), jnp.float32)
     gh = gy
-    for l in reversed(range(L)):
+    for l in reversed(range(L if "rev" not in ab else 0)):
         if l == L - 1:
             gz = gh
         else:
-            gz = gh * df(z_scr[l])
-            if ddf is not None:
+            gz = gh * df(zl(l))
+            if ddf is not None and "gafwd" not in ab:
                 gz = gz + e_scr[l].astype(jnp.float32)
         gzb = gz.astype(jnp.bfloat16)
         gw = jax.lax.dot_general(
@@ -591,7 +644,16 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
         )
         gb = jnp.sum(gz, axis=0, keepdims=True)
         gw_ref, gb_ref = gw_refs[l], gb_refs[l]
-        gw_ref[:] = gw_ref[:] + gw
+        if "gafwd" in ab:
+            @pl.when(first)
+            def _():
+                gw_ref[:] = gw
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                gw_ref[:] = gw_ref[:] + gw
+        else:
+            gw_ref[:] = gw_ref[:] + gw
 
         @pl.when(first)
         def _():
@@ -611,20 +673,28 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
             gx0 = gx0 + ghp[:, hw:] / np.sqrt(2.0)
         else:
             gh = ghp
-    ghin = gh + gx0  # [B, P0] cotangent on x0
+    ghin = (gh + gx0) if "rev" not in ab else gx0  # [B, P0] cotangent on x0
 
     # ---- grid slice of the input cotangent -> slot backward
     g_enc = ghin[:, pw : pw + kf] * m
     gt0 = dotgv(g_enc, s_mat, dn_t)  # [B, K*128]
     d_comp = d_comp + gt0 * wexp
     d_w = dotv(comp * gt0, s2)  # [B, K*8] cotangent on w
-    _scatter_onehot(
-        idx, spec.lv, dtbl_ref, d_comp, b, first, geom.pk, geom.bf16
-    )
+    if "scatter" in ab:
+        @pl.when(first)
+        def _():
+            dtbl_ref[:] = jnp.zeros_like(dtbl_ref)
+    else:
+        _scatter_onehot(
+            idx, spec.lv, dtbl_ref, d_comp, b, first, geom.pk, geom.bf16
+        )
 
     # ---- position cotangent: PE Jacobian transpose + the encoding-Hessian
     # term of the grad3 output (g3_k * <adj_pe, enc''_k>) + the trilerp
     # geometry fold (first- and second-order weight terms)
+    if "fold" in ab:
+        gx_ref[:] = jnp.zeros((b, LANE), jnp.float32)
+        return
     gx = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw])
     F, _, _ = spec.encspec.enc
     svec, masks = _enc_consts(spec.encspec)
@@ -677,32 +747,48 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     geo_spec = blk((B, G))
     comp_spec = blk((B, K * LANE))
 
-    fwd_call = pl.pallas_call(
-        functools.partial(_fused_fwd_kernel, spec),
-        grid=(n_total // Bf,),
-        in_specs=[blk((Bf, LANE)), m_spec] + tbl_specs + [s_spec, p_spec]
-        + w_specs + b_specs,
-        out_specs=[blk((Bf, LANE)), blk((Bf, G)), blk((Bf, K * LANE))],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_total, G), jnp.bfloat16),
-            jax.ShapeDtypeStruct((n_total, K * LANE), jnp.float32),
-        ],
-        compiler_params=_compiler_params(),
-        interpret=interpret,
-    )
-
+    comp_dtype = jnp.bfloat16 if bf16 else jnp.float32
     H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
-    scratch = [
-        pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16),
-        pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16),
-        pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16),
-    ]
+    P0 = inner.in_dims[0]
+    # residual stacks (z pre-activations, adjoint-sweep s rows, adjoint):
+    # emitted by the grad-path forward so the backward never rebuilds the
+    # chain (only when L > 1 for z/s; adj always)
+    resid_specs = ([blk((Bf, (L - 1) * H))] * 2 if L > 1 else []) + [blk((Bf, P0))]
+    resid_shapes = (
+        [jax.ShapeDtypeStruct((n_total, (L - 1) * H), jnp.bfloat16)] * 2
+        if L > 1
+        else []
+    ) + [jax.ShapeDtypeStruct((n_total, P0), jnp.float32)]
+
+    def make_fwd(resid):
+        return pl.pallas_call(
+            functools.partial(_fused_fwd_kernel, spec, resid),
+            grid=(n_total // Bf,),
+            in_specs=[blk((Bf, LANE)), m_spec] + tbl_specs + [s_spec, p_spec]
+            + w_specs + b_specs,
+            out_specs=[blk((Bf, LANE)), blk((Bf, G)), blk((Bf, K * LANE))]
+            + (resid_specs if resid else []),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_total, G), jnp.bfloat16),
+                jax.ShapeDtypeStruct((n_total, K * LANE), comp_dtype),
+            ]
+            + (resid_shapes if resid else []),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+
+    fwd_lite, fwd_call = make_fwd(False), make_fwd(True)
+
+    bwd_resid_specs = (
+        [blk((B, (L - 1) * H))] * 2 if L > 1 else []
+    ) + [blk((B, P0))]
     bwd_call = pl.pallas_call(
         functools.partial(_fused_bwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, m_spec, comp_spec, sg_spec, geo_spec,
-                  s_spec, s2_spec, p_spec] + w_specs + b_specs,
+        in_specs=[pos_spec, m_spec, comp_spec, sg_spec, geo_spec]
+        + bwd_resid_specs
+        + [s_spec, s2_spec, p_spec] + w_specs + b_specs,
         out_specs=[
             blk((B, LANE)),  # gx
             tbl_spec,  # d_table (accumulates over the grid)
@@ -718,7 +804,7 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
             for din, dout in zip(inner.in_dims, inner.out_dims)
         ]
         + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in inner.out_dims],
-        scratch_shapes=scratch,
+        scratch_shapes=[pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16)],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )
@@ -736,7 +822,7 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     def op(pos, mask, table, wps, bps):
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
-            sg, geo, _ = fwd_call(
+            sg, geo, _ = fwd_lite(
                 pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
                 *wbs, *bps,
             )
@@ -745,20 +831,20 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     def op_fwd(pos, mask, table, wps, bps):
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
-            sg, geo, comp = fwd_call(
+            sg, geo, comp, *resid = fwd_call(
                 pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
                 *wbs, *bps,
             )
-        return (sg, geo), (pos, mask, comp, wps, bps)
+        return (sg, geo), (pos, mask, comp, tuple(resid), wps, bps)
 
     def op_bwd(res, g):
-        pos, mask, comp, wps, bps = res
+        pos, mask, comp, resid, wps, bps = res
         gsg, ggeo = g
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             outs = bwd_call(
                 pos, mask, comp,
-                gsg.astype(jnp.float32), ggeo.astype(jnp.bfloat16),
+                gsg.astype(jnp.float32), ggeo.astype(jnp.bfloat16), *resid,
                 jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
                 *wbs, *bps,
             )
@@ -851,6 +937,9 @@ def fused_slot_sdf_chain(
         rows=gspec.total_rows, pe_width=pw,
         geom=_make_geom(gspec, K, radius),
         fwd_block=fwd_block if fwd_block != block else 0,
+        ablate=tuple(
+            s for s in _os.environ.get("MMS_SLOT_ABLATE", "").split(",") if s
+        ),
     )
 
     wps = tuple(
@@ -908,8 +997,8 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
     b = pos_ref.shape[0]
     idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
     w = _geom_weights(geom, g)
-    comp_ref[:] = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b, geom.pk)
-    comp = comp_ref[:]
+    comp = _gather_onehot(idx, spec.lv, tblh_ref, tbll_ref, b, geom.pk)
+    comp_ref[:] = comp.astype(comp_ref.dtype)
     wexp = dotv(w, p_ref[:])
     encg = dotv(comp * wexp, s_ref[:]) * m_ref[:]
 
@@ -961,7 +1050,7 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     z_scr = refs[p]
 
     b = pos_ref.shape[0]
-    comp = comp_ref[:]
+    comp = comp_ref[:].astype(jnp.float32)
     s_mat = s_ref[:]
     p_mat = p_ref[:]
     m = m_ref[:]
@@ -1072,6 +1161,7 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     sdf_spec = blk((B, LANE))
     comp_spec = blk((B, K * LANE))
 
+    comp_dtype = jnp.bfloat16 if bf16 else jnp.float32
     fwd_call = pl.pallas_call(
         functools.partial(_value_fwd_kernel, spec),
         grid=(n_total // Bf,),
@@ -1080,7 +1170,7 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
         out_specs=[blk((Bf, LANE)), blk((Bf, K * LANE))],
         out_shape=[
             jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_total, K * LANE), jnp.float32),
+            jax.ShapeDtypeStruct((n_total, K * LANE), comp_dtype),
         ],
         compiler_params=_compiler_params(),
         interpret=interpret,
