@@ -137,11 +137,12 @@ class SlotChainSpec:
     # full-table scatter accumulation penalizes small bwd blocks).
     fwd_block: int = 0
     # MEASUREMENT ONLY (MMS_SLOT_ABLATE=sec,sec): statically drop backward
-    # sections to attribute kernel time. Sections: adj (adjoint-sweep
-    # rebuild), grid3 (grad3-output grid cotangents), gafwd (ga-forward
-    # chain), rev (reverse sweep), scatter (one-hot table scatter), fold
-    # (position-cotangent fold + enc hessian). Never set in production —
-    # ablated kernels compute wrong gradients.
+    # sections to attribute kernel time. Sections: adj (zero the adjoint
+    # residual input — folds its consumers), grid3 (grad3-output grid
+    # cotangents), gafwd (ga-forward chain), rev (reverse sweep), scatter
+    # (one-hot table scatter), fold (position-cotangent fold + enc
+    # hessian). Zeros constant-fold downstream, so sections overlap —
+    # interpret deltas as cluster sizes. Never set in production.
     ablate: Tuple[str, ...] = ()
 
 
@@ -971,7 +972,7 @@ def fused_slot_sdf_chain(
 # value path (reference src/field_components/mlp.py:246-293).
 
 
-def _value_fwd_kernel(spec: SlotChainSpec, *refs):
+def _value_fwd_kernel(spec: SlotChainSpec, resid: bool, *refs):
     inner = spec.inner
     L = inner.n_layers
     K = spec.levels
@@ -992,7 +993,8 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
     p_ref = refs[p]; p += 1
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
     sdf_ref = refs[p]; p += 1
-    comp_ref = refs[p]
+    comp_ref = refs[p]; p += 1
+    zs_ref = refs[p] if (resid and L > 1) else None
 
     b = pos_ref.shape[0]
     idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
@@ -1009,12 +1011,18 @@ def _value_fwd_kernel(spec: SlotChainSpec, *refs):
         + ([jnp.zeros((b, pad), jnp.bfloat16)] if pad else []),
         axis=-1,
     )
+    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
     h = x0
     for l in range(L):
         if l in inner.skip:
             h = (jnp.concatenate([h, x0], axis=-1) / np.sqrt(2.0)).astype(jnp.bfloat16)
         z = jnp.dot(h, ws[l][:], preferred_element_type=jnp.float32) + bs[l][:]
-        h = f(z).astype(jnp.bfloat16) if l < L - 1 else z
+        if l < L - 1:
+            if zs_ref is not None:
+                zs_ref[:, l * H : (l + 1) * H] = z.astype(jnp.bfloat16)
+            h = f(z).astype(jnp.bfloat16)
+        else:
+            h = z
     sdf_ref[:] = jnp.concatenate(
         [h[:, :1], jnp.zeros((b, LANE - 1), jnp.float32)], axis=-1
     )
@@ -1040,14 +1048,21 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     m_ref = refs[p]; p += 1
     comp_ref = refs[p]; p += 1
     gs_ref = refs[p]; p += 1
+    zs_ref = None
+    if L > 1:
+        zs_ref = refs[p]; p += 1
     s_ref = refs[p]; p += 1
     s2_ref = refs[p]; p += 1
     p_ref = refs[p]; p += 1
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
     gx_ref = refs[p]; p += 1
     dtbl_ref = refs[p]; p += 1
-    gw_refs = refs[p : p + L]; gb_refs = refs[p + L : p + 2 * L]; p += 2 * L
-    z_scr = refs[p]
+    gw_refs = refs[p : p + L]; gb_refs = refs[p + L : p + 2 * L]
+
+    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+
+    def zl(l):
+        return zs_ref[:, l * H : (l + 1) * H]
 
     b = pos_ref.shape[0]
     comp = comp_ref[:].astype(jnp.float32)
@@ -1056,7 +1071,7 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     m = m_ref[:]
     dn_t = (((1,), (1,)), ((), ()))
 
-    # rebuild geometry + x0 + primal chain (z residuals in scratch)
+    # geometry + x0 (z residuals come from the forward kernel — no rebuild)
     idx, g, gate = _geom_rows(geom, spec.lv, pos_ref[:])
     w, wa, dwa = _geom_weights(geom, g, order=1)
     wexp = dotv(w, p_mat)
@@ -1069,19 +1084,12 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
         axis=-1,
     )
     wl = [ws[l][:] for l in range(L)]
-    h = x0
-    for l in range(L - 1):
-        if l in inner.skip:
-            h = (jnp.concatenate([h, x0], axis=-1) / np.sqrt(2.0)).astype(jnp.bfloat16)
-        z = jnp.dot(h, wl[l], preferred_element_type=jnp.float32) + bs[l][:]
-        z_scr[l] = z.astype(jnp.bfloat16)
-        h = f(z).astype(jnp.bfloat16)
 
     gsdf = gs_ref[:]  # [B, LANE] f32, col 0 = d loss / d sdf
     gy = jnp.concatenate([gsdf[:, :1], jnp.zeros((b, DL - 1), jnp.float32)], axis=-1)
 
     def layer_input(l):
-        hin = x0 if l == 0 else f(z_scr[l - 1].astype(jnp.float32)).astype(jnp.bfloat16)
+        hin = x0 if l == 0 else f(zl(l - 1).astype(jnp.float32)).astype(jnp.bfloat16)
         if l in inner.skip:
             hin = (jnp.concatenate([hin, x0], axis=-1) / np.sqrt(2.0)).astype(
                 jnp.bfloat16
@@ -1091,7 +1099,7 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     gx0 = jnp.zeros((b, P0), jnp.float32)
     gh = gy
     for l in reversed(range(L)):
-        gz = gh if l == L - 1 else gh * df(z_scr[l])
+        gz = gh if l == L - 1 else gh * df(zl(l))
         gzb = gz.astype(jnp.bfloat16)
         gw = jax.lax.dot_general(
             layer_input(l), gzb, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -1162,26 +1170,38 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     comp_spec = blk((B, K * LANE))
 
     comp_dtype = jnp.bfloat16 if bf16 else jnp.float32
-    fwd_call = pl.pallas_call(
-        functools.partial(_value_fwd_kernel, spec),
-        grid=(n_total // Bf,),
-        in_specs=[blk((Bf, LANE)), m_spec] + tbl_specs + [s_spec, p_spec]
-        + w_specs + b_specs,
-        out_specs=[blk((Bf, LANE)), blk((Bf, K * LANE))],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((n_total, K * LANE), comp_dtype),
-        ],
-        compiler_params=_compiler_params(),
-        interpret=interpret,
+    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+    P0 = inner.in_dims[0]
+    resid_specs = [blk((Bf, (L - 1) * H))] if L > 1 else []
+    resid_shapes = (
+        [jax.ShapeDtypeStruct((n_total, (L - 1) * H), jnp.bfloat16)] if L > 1 else []
     )
 
-    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+    def make_fwd(resid):
+        return pl.pallas_call(
+            functools.partial(_value_fwd_kernel, spec, resid),
+            grid=(n_total // Bf,),
+            in_specs=[blk((Bf, LANE)), m_spec] + tbl_specs + [s_spec, p_spec]
+            + w_specs + b_specs,
+            out_specs=[blk((Bf, LANE)), blk((Bf, K * LANE))]
+            + (resid_specs if resid else []),
+            out_shape=[
+                jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_total, K * LANE), comp_dtype),
+            ]
+            + (resid_shapes if resid else []),
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+
+    fwd_lite, fwd_call = make_fwd(False), make_fwd(True)
+
     bwd_call = pl.pallas_call(
         functools.partial(_value_bwd_kernel, spec),
         grid=grid,
-        in_specs=[pos_spec, m_spec, comp_spec, sdf_spec,
-                  s_spec, s2_spec, p_spec] + w_specs + b_specs,
+        in_specs=[pos_spec, m_spec, comp_spec, sdf_spec]
+        + ([blk((B, (L - 1) * H))] if L > 1 else [])
+        + [s_spec, s2_spec, p_spec] + w_specs + b_specs,
         out_specs=[
             blk((B, LANE)),  # gx
             tbl_spec,  # d_table (accumulates over the grid)
@@ -1197,7 +1217,6 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
             for din, dout in zip(inner.in_dims, inner.out_dims)
         ]
         + [jax.ShapeDtypeStruct((1, dout), jnp.float32) for dout in inner.out_dims],
-        scratch_shapes=[pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16)],
         compiler_params=_compiler_params(),
         interpret=interpret,
     )
@@ -1215,7 +1234,7 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     def op(pos, mask, table, wps, bps):
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
-            sdf, _ = fwd_call(
+            sdf, _ = fwd_lite(
                 pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
                 *wbs, *bps,
             )
@@ -1224,18 +1243,18 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     def op_fwd(pos, mask, table, wps, bps):
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
-            sdf, comp = fwd_call(
+            sdf, comp, *resid = fwd_call(
                 pos, mask, *_tbl_ops(table), jnp.asarray(s1m), jnp.asarray(pm),
                 *wbs, *bps,
             )
-        return sdf, (pos, mask, comp, wps, bps)
+        return sdf, (pos, mask, comp, tuple(resid), wps, bps)
 
     def op_bwd(res, gsdf):
-        pos, mask, comp, wps, bps = res
+        pos, mask, comp, resid, wps, bps = res
         wbs = [x.astype(jnp.bfloat16) for x in wps]
         with jax.default_matmul_precision("bfloat16"):
             outs = bwd_call(
-                pos, mask, comp, gsdf.astype(jnp.float32),
+                pos, mask, comp, gsdf.astype(jnp.float32), *resid,
                 jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
                 *wbs, *bps,
             )

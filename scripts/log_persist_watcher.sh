@@ -9,7 +9,8 @@ mkdir -p r4logs
 while true; do
   sleep "$interval"
   changed=0
-  for f in /tmp/capacity.log /tmp/fwdblock.log /tmp/fused_ladder.log; do
+  for f in /tmp/capacity.log /tmp/capacity2.log /tmp/fwdblock.log \
+           /tmp/fused_ladder.log /tmp/benchq.log /tmp/gridbench.log; do
     b=r4logs/$(basename "$f")
     if [ -f "$f" ] && ! cmp -s "$f" "$b"; then cp "$f" "$b"; changed=1; fi
   done
