@@ -144,6 +144,14 @@ class SlotChainSpec:
     # hessian). Zeros constant-fold downstream, so sections overlap —
     # interpret deltas as cluster sizes. Never set in production.
     ablate: Tuple[str, ...] = ()
+    # r5 backward restructure: split the monolithic backward into a
+    # per-sample cotangent kernel (no accumulators, no table — lean VMEM
+    # live set) + XLA weight-grad dots over lane-aligned stacks + a
+    # scatter-only kernel. The r4 ablation measured the merged kernel
+    # "diffusely bound": its accumulator outputs (dtbl + 2L weight grads,
+    # revisited every grid step) plus the full live set wedge Mosaic's
+    # pipeline — zeroing one small cluster (ablate='adj') recovered 4.4x.
+    bwd_split: bool = False
 
 
 def _split_entry(idx, pk):
@@ -368,12 +376,14 @@ def _fused_fwd_kernel(spec: SlotChainSpec, resid: bool, *refs):
     sg_ref = refs[p]; p += 1
     geo_ref = refs[p]; p += 1
     comp_ref = refs[p]; p += 1
-    zs_ref = ss_ref = adj_ref = None
+    zs_ref = ss_ref = adj_ref = x0_ref = None
     if resid:
         if L > 1:
             zs_ref = refs[p]; p += 1
             ss_ref = refs[p]; p += 1
-        adj_ref = refs[p]
+        adj_ref = refs[p]; p += 1
+        if spec.bwd_split:
+            x0_ref = refs[p]
 
     b = pos_ref.shape[0]
     cs = 1.0 / (2.0 * geom.radius)
@@ -422,6 +432,8 @@ def _fused_fwd_kernel(spec: SlotChainSpec, resid: bool, *refs):
             zs_ref[:, l * H : (l + 1) * H] = zs[l]
             ss_ref[:, l * H : (l + 1) * H] = s_rows[l]
         adj_ref[:] = adj
+        if x0_ref is not None:
+            x0_ref[:] = x0
     else:
         adj = _adj_sweep(inner, wl, zs, b)  # [B, P0] f32
 
@@ -718,6 +730,250 @@ def _fused_bwd_kernel(spec: SlotChainSpec, *refs):
     gx_ref[:] = gx + sec
 
 
+# -------------------------------------------------- split backward (r5)
+#
+# The merged backward carries 2L+1 accumulator outputs (weight/bias grads
+# + the whole table) that every grid step revisits, plus the full
+# cotangent live set — the r4 ablation measured it 4.4x off its own
+# cluster-free rate with no sensitivity to block size or table rows
+# (VMEM/pipeline bound, not FLOP bound). The split factors it into:
+#
+#   B1 _bwd_sample_kernel: ALL per-sample math (adjoint-cotangent cluster,
+#      ga-forward chain, reverse sweep, grid cotangents, position fold) —
+#      no accumulators, no table operand. Emits gx, d_comp and the
+#      lane-aligned stacks (ga, q_l, gz_l) the weight grads contract.
+#   XLA weight grads (in op_bwd): gw_l = qin_l^T v_l + hin_l^T gz_l over
+#      [N, H] bf16 stacks — big lane-aligned dense matmuls XLA runs at
+#      full MXU rate (the old slow XLA fold was over lane-PADDED [N, K*8]
+#      arrays; these are exact multiples of 128).
+#   B2 _bwd_scatter_kernel: recomputes row indices (cheap iota math) and
+#      scatters d_comp into the table — the only accumulator kernel.
+
+
+def _bwd_sample_kernel(spec: SlotChainSpec, *refs):
+    """Per-sample backward: everything except weight grads + table scatter.
+
+    Same math as _fused_bwd_kernel minus the gw/gb/dtbl accumulation; the
+    ga-forward chain stores q_l and the reverse sweep stores gz_l so the
+    XLA-side weight-grad dots reproduce the merged kernel's contributions
+    exactly (bf16 operands, f32 accumulation)."""
+    inner = spec.inner
+    L = inner.n_layers
+    K = spec.levels
+    geom = spec.geom
+    kf = K * geom.feats
+    pw = spec.pe_width
+    P0 = inner.in_dims[0]
+    DL = inner.out_dims[-1]
+    f, df, ddf = _act_triple(inner)
+    dotv = _dot_b if geom.bf16 else _dot_hl
+    dotgv = _dotg_b if geom.bf16 else _dotg_hl
+
+    p = 0
+    pos_ref = refs[p]; p += 1
+    m_ref = refs[p]; p += 1
+    comp_ref = refs[p]; p += 1
+    gsg_ref = refs[p]; p += 1
+    ggeo_ref = refs[p]; p += 1
+    zs_ref = refs[p]; p += 1
+    ss_ref = refs[p]; p += 1
+    adj_ref = refs[p]; p += 1
+    s_ref = refs[p]; p += 1
+    s2_ref = refs[p]; p += 1
+    p_ref = refs[p]; p += 1
+    ws = refs[p : p + L]; p += L
+    gx_ref = refs[p]; p += 1
+    dcomp_ref = refs[p]; p += 1
+    ga_ref = refs[p]; p += 1
+    qs_ref = refs[p]; p += 1
+    gzs_ref = refs[p]; p += 1
+    e_scr = refs[p]
+
+    H = inner.out_dims[0]
+
+    def zl(l):
+        return zs_ref[:, l * H : (l + 1) * H]
+
+    def sl(l):
+        return ss_ref[:, l * H : (l + 1) * H]
+
+    b = pos_ref.shape[0]
+    cs = 1.0 / (2.0 * geom.radius)
+    comp = comp_ref[:].astype(jnp.float32)
+    s_mat = s_ref[:]
+    s2 = s2_ref[:]
+    p_mat = p_ref[:]
+    m = m_ref[:]
+    dn_t = (((1,), (1,)), ((), ()))
+
+    # geometry (no idx — the scatter kernel owns the table)
+    _, g, gate = _geom_rows(geom, spec.lv, pos_ref[:])
+    w, wa, dwa, ddwa = _geom_weights(geom, g, order=2)
+    dw_rows = []
+    for k in range(3):
+        u, v = (k + 1) % 3, (k + 2) % 3
+        dw_rows.append((dwa[k] * wa[u] * wa[v]) * cs)
+    wexp = dotv(w, p_mat)
+    _, t0pe, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:])
+    wl = [ws[l][:] for l in range(L)]
+    adj = adj_ref[:]
+    adjg = adj[:, pw : pw + kf] * m
+
+    # incoming cotangents
+    gsg = gsg_ref[:]
+    ggeo = ggeo_ref[:].astype(jnp.float32)
+    gcols_geo = min(ggeo.shape[1], DL - 1)
+    tail = DL - 1 - gcols_geo
+    gy = jnp.concatenate(
+        [gsg[:, :1], ggeo[:, :gcols_geo]]
+        + ([jnp.zeros((b, tail), jnp.float32)] if tail > 0 else []),
+        axis=-1,
+    )
+    g3 = gsg[:, 1:4]
+
+    # adjoint-cotangent cluster (see _fused_bwd_kernel for the algebra)
+    ga_pe = sum(g3[:, k : k + 1] * t0pe[k].astype(jnp.float32) for k in range(3))
+    dwsum = sum(g3[:, k : k + 1] * dw_rows[k] for k in range(3))
+    dwg = dotv(dwsum, p_mat)
+    ga_g = dotv(comp * dwg, s_mat) * m
+    gc0 = dotgv(adjg, s_mat, dn_t)
+    d_comp = gc0 * dwg
+    dd0 = dotv(comp * gc0, s2)
+    d_dws = [g3[:, k : k + 1] * dd0 for k in range(3)]
+    pad = P0 - pw - kf
+    ga = jnp.concatenate(
+        [ga_pe, ga_g] + ([jnp.zeros((b, pad), jnp.float32)] if pad else []), axis=-1
+    )
+    ga_ref[:] = ga.astype(jnp.bfloat16)
+
+    # ga-forward chain: store q_l (the layer-(l+1) input), e_l injections
+    q = ga
+    for l in range(L - 1):
+        qin = (
+            (jnp.concatenate([q, ga], axis=-1) / np.sqrt(2.0))
+            if l in inner.skip
+            else q
+        )
+        mq = jnp.dot(qin.astype(jnp.bfloat16), wl[l],
+                     preferred_element_type=jnp.float32)
+        if ddf is not None:
+            e_scr[l] = (mq * sl(l).astype(jnp.float32) * ddf(zl(l))).astype(
+                jnp.bfloat16
+            )
+        q = mq * df(zl(l))
+        qs_ref[:, l * H : (l + 1) * H] = q.astype(jnp.bfloat16)
+
+    # reverse sweep: store gz_l, emit ghin (no weight-grad dots)
+    gx0 = jnp.zeros((b, P0), jnp.float32)
+    gh = gy
+    for l in reversed(range(L)):
+        if l == L - 1:
+            gz = gh
+        else:
+            gz = gh * df(zl(l))
+            if ddf is not None:
+                gz = gz + e_scr[l].astype(jnp.float32)
+            gzs_ref[:, l * H : (l + 1) * H] = gz.astype(jnp.bfloat16)
+        gzb = gz.astype(jnp.bfloat16)
+        ghp = jax.lax.dot_general(
+            gzb, wl[l], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l in inner.skip:
+            hw = inner.in_dims[l] - P0
+            gh = ghp[:, :hw] / np.sqrt(2.0)
+            gx0 = gx0 + ghp[:, hw:] / np.sqrt(2.0)
+        else:
+            gh = ghp
+    ghin = gh + gx0
+
+    # grid slice of the input cotangent
+    g_enc = ghin[:, pw : pw + kf] * m
+    gt0 = dotgv(g_enc, s_mat, dn_t)
+    d_comp = d_comp + gt0 * wexp
+    d_w = dotv(comp * gt0, s2)
+    dcomp_ref[:] = d_comp.astype(dcomp_ref.dtype)
+
+    # position cotangent
+    gx = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw])
+    F, _, _ = spec.encspec.enc
+    svec, masks = _enc_consts(spec.encspec)
+    s1c, s2c = 3, 3 + 3 * F
+    d2sin = -sin_p * svec * svec
+    d2cos = -cos_p * svec * svec
+    a_s = adj[:, s1c:s2c]
+    a_c = adj[:, s2c : s2c + 3 * F]
+    gpos = _fold_pos_cotangent(geom, g, gate, wa, dwa, ddwa, d_w, d_dws)
+    sec = jnp.concatenate(
+        [
+            g3[:, k : k + 1]
+            * jnp.sum((a_s * d2sin + a_c * d2cos) * masks[k], axis=-1, keepdims=True)
+            + gpos[k]
+            for k in range(3)
+        ]
+        + [jnp.zeros((b, LANE - 3), jnp.float32)],
+        axis=-1,
+    )
+    gx_ref[:] = gx + sec
+
+
+def _bwd_scatter_kernel(spec: SlotChainSpec, *refs):
+    """Accumulate d_comp into the table: the only revisited-output kernel."""
+    geom = spec.geom
+    pos_ref, dcomp_ref, dtbl_ref = refs
+    b = pos_ref.shape[0]
+    first = pl.program_id(0) == 0
+    idx, _, _ = _geom_rows(geom, spec.lv, pos_ref[:])
+    _scatter_onehot(
+        idx, spec.lv, dtbl_ref, dcomp_ref[:].astype(jnp.float32), b, first,
+        geom.pk, geom.bf16,
+    )
+
+
+def _wgrads_xla(inner: ChainSpec, c: int, x0, zs, ss, gy, ga, qs, gzs):
+    """Weight/bias grads from the B1 stacks: gw_l = qin_l^T v_l + hin_l^T
+    gz_l, gb_l = colsum(gz_l) — the merged kernel's two accumulation
+    families as XLA dense matmuls over [N, H]-aligned bf16 arrays."""
+    L = inner.n_layers
+    H = inner.out_dims[0]
+    DL = inner.out_dims[-1]
+    P0 = inner.in_dims[0]
+    f, df, _ = _act_triple(inner)
+    dn_acc = (((0,), (0,)), ((), ()))
+    inv_s2 = 1.0 / np.sqrt(2.0)
+
+    def col(stack, l):
+        return stack[:, l * H : (l + 1) * H]
+
+    gws, gbs = [], []
+    for l in range(L):
+        q = ga if l == 0 else col(qs, l - 1)
+        qin = (
+            jnp.concatenate([q, ga], axis=-1) * inv_s2 if l in inner.skip else q
+        ).astype(jnp.bfloat16)
+        h = x0 if l == 0 else f(col(zs, l - 1).astype(jnp.float32)).astype(jnp.bfloat16)
+        hin = (
+            jnp.concatenate([h, x0], axis=-1) * inv_s2 if l in inner.skip else h
+        ).astype(jnp.bfloat16)
+        gz = gy if l == L - 1 else col(gzs, l).astype(jnp.float32)
+        gw = jax.lax.dot_general(
+            hin, gz.astype(jnp.bfloat16), dimension_numbers=dn_acc,
+            preferred_element_type=jnp.float32,
+        )
+        if l == L - 1:
+            # v_{L-1} = onehot(c): the adjoint-path grad is rank-1
+            gw = gw.at[:, c].add(jnp.sum(qin.astype(jnp.float32), axis=0))
+        else:
+            v = (col(ss, l).astype(jnp.float32) * df(col(zs, l))).astype(jnp.bfloat16)
+            gw = gw + jax.lax.dot_general(
+                qin, v, dimension_numbers=dn_acc,
+                preferred_element_type=jnp.float32,
+            )
+        gws.append(gw)
+        gbs.append(jnp.sum(gz, axis=0, keepdims=True))
+    return tuple(gws), tuple(gbs)
+
+
 # ------------------------------------------------------------- pallas glue
 
 @functools.lru_cache(maxsize=None)
@@ -753,13 +1009,22 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
     P0 = inner.in_dims[0]
     # residual stacks (z pre-activations, adjoint-sweep s rows, adjoint):
     # emitted by the grad-path forward so the backward never rebuilds the
-    # chain (only when L > 1 for z/s; adj always)
+    # chain (only when L > 1 for z/s; adj always; x0 for the split
+    # backward's XLA weight-grad dots)
+    split = spec.bwd_split
+    if split and L < 2:
+        raise ValueError("bwd_split requires a multi-layer chain")
     resid_specs = ([blk((Bf, (L - 1) * H))] * 2 if L > 1 else []) + [blk((Bf, P0))]
     resid_shapes = (
         [jax.ShapeDtypeStruct((n_total, (L - 1) * H), jnp.bfloat16)] * 2
         if L > 1
         else []
     ) + [jax.ShapeDtypeStruct((n_total, P0), jnp.float32)]
+    if split:
+        resid_specs = resid_specs + [blk((Bf, P0))]
+        resid_shapes = resid_shapes + [
+            jax.ShapeDtypeStruct((n_total, P0), jnp.bfloat16)
+        ]
 
     def make_fwd(resid):
         return pl.pallas_call(
@@ -780,6 +1045,42 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
         )
 
     fwd_lite, fwd_call = make_fwd(False), make_fwd(True)
+
+    if split:
+        dcomp_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        b1_call = pl.pallas_call(
+            functools.partial(_bwd_sample_kernel, spec),
+            grid=grid,
+            in_specs=[pos_spec, m_spec, comp_spec, sg_spec, geo_spec]
+            + [blk((B, (L - 1) * H))] * 2 + [blk((B, P0))]
+            + [s_spec, s2_spec, p_spec] + w_specs,
+            out_specs=[
+                blk((B, LANE)),  # gx
+                blk((B, K * LANE)),  # d_comp
+                blk((B, P0)),  # ga
+                blk((B, (L - 1) * H)),  # q stack
+                blk((B, (L - 1) * H)),  # gz stack
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_total, K * LANE), dcomp_dtype),
+                jax.ShapeDtypeStruct((n_total, P0), jnp.bfloat16),
+                jax.ShapeDtypeStruct((n_total, (L - 1) * H), jnp.bfloat16),
+                jax.ShapeDtypeStruct((n_total, (L - 1) * H), jnp.bfloat16),
+            ],
+            scratch_shapes=[pltpu.VMEM((max(L - 1, 1), B, H), jnp.bfloat16)],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+        scat_call = pl.pallas_call(
+            functools.partial(_bwd_scatter_kernel, spec),
+            grid=grid,
+            in_specs=[pos_spec, comp_spec],
+            out_specs=[tbl_spec],
+            out_shape=[jax.ShapeDtypeStruct((spec.rows, LANE), jnp.float32)],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
 
     bwd_resid_specs = (
         [blk((B, (L - 1) * H))] * 2 if L > 1 else []
@@ -842,17 +1143,41 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
         pos, mask, comp, resid, wps, bps = res
         gsg, ggeo = g
         wbs = [x.astype(jnp.bfloat16) for x in wps]
-        with jax.default_matmul_precision("bfloat16"):
-            outs = bwd_call(
-                pos, mask, comp,
-                gsg.astype(jnp.float32), ggeo.astype(jnp.bfloat16), *resid,
-                jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
-                *wbs, *bps,
-            )
         L = inner.n_layers
-        gx, d_tbl = outs[0], outs[1]
-        gws = tuple(outs[2 : 2 + L])
-        gbs = tuple(outs[2 + L : 2 + 2 * L])
+        gsg32 = gsg.astype(jnp.float32)
+        ggeo16 = ggeo.astype(jnp.bfloat16)
+        with jax.default_matmul_precision("bfloat16"):
+            if split:
+                zs, ss, adj, x0 = resid
+                gx, d_comp, ga, qs, gzs = b1_call(
+                    pos, mask, comp, gsg32, ggeo16, zs, ss, adj,
+                    jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm), *wbs,
+                )
+                (d_tbl,) = scat_call(pos, d_comp)
+                DL = inner.out_dims[-1]
+                gcols = min(ggeo.shape[1], DL - 1)
+                tail = DL - 1 - gcols
+                gy = jnp.concatenate(
+                    [gsg32[:, :1], ggeo16[:, :gcols].astype(jnp.float32)]
+                    + (
+                        [jnp.zeros((gsg.shape[0], tail), jnp.float32)]
+                        if tail > 0
+                        else []
+                    ),
+                    axis=-1,
+                )
+                gws, gbs = _wgrads_xla(
+                    inner, inner.tangent_out_channel, x0, zs, ss, gy, ga, qs, gzs
+                )
+            else:
+                outs = bwd_call(
+                    pos, mask, comp, gsg32, ggeo16, *resid,
+                    jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
+                    *wbs, *bps,
+                )
+                gx, d_tbl = outs[0], outs[1]
+                gws = tuple(outs[2 : 2 + L])
+                gbs = tuple(outs[2 + L : 2 + 2 * L])
         # the coarse-to-fine mask is a schedule, never a trainable — its
         # (nonzero) cotangent is deliberately dropped
         d_mask = jnp.zeros((1, kf), jnp.float32)
@@ -941,6 +1266,8 @@ def fused_slot_sdf_chain(
         ablate=tuple(
             s for s in _os.environ.get("MMS_SLOT_ABLATE", "").split(",") if s
         ),
+        bwd_split=_os.environ.get("MMS_SLOT_BWD_SPLIT", "0") == "1"
+        and len(out_dims) > 1,
     )
 
     wps = tuple(
