@@ -152,6 +152,10 @@ class SlotChainSpec:
     # revisited every grid step) plus the full live set wedge Mosaic's
     # pipeline — zeroing one small cluster (ablate='adj') recovered 4.4x.
     bwd_split: bool = False
+    # scatter-kernel block size in split mode; 0 = inner.block. The scatter
+    # revisits the whole table every grid step, so bigger blocks = fewer
+    # full-table accumulation passes.
+    scatter_block: int = 0
 
 
 def _split_entry(idx, pk):
@@ -1072,10 +1076,12 @@ def _build_fused(spec: SlotChainSpec, n_total: int, interpret: bool):
             compiler_params=_compiler_params(),
             interpret=interpret,
         )
+        Bs = spec.scatter_block or B
+        assert n_total % Bs == 0
         scat_call = pl.pallas_call(
             functools.partial(_bwd_scatter_kernel, spec),
-            grid=grid,
-            in_specs=[pos_spec, comp_spec],
+            grid=(n_total // Bs,),
+            in_specs=[blk((Bs, LANE)), blk((Bs, K * LANE))],
             out_specs=[tbl_spec],
             out_shape=[jax.ShapeDtypeStruct((spec.rows, LANE), jnp.float32)],
             compiler_params=_compiler_params(),
@@ -1226,6 +1232,7 @@ def fused_slot_sdf_chain(
         fwd_block = (
             int(_os.environ.get("MMS_SLOT_FWD_BLOCK", "0")) or DEFAULT_FWD_BLOCK or block
         )
+    sblock = int(_os.environ.get("MMS_SLOT_SCATTER_BLOCK", "0")) or block
     n = positions.shape[0]
     K = gspec.num_levels
     kf = K * gspec.feats
@@ -1234,7 +1241,7 @@ def fused_slot_sdf_chain(
     d_out = weights[-1].shape[1]
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
-    n_pad = _rup(n, max(block, fwd_block))
+    n_pad = _rup(n, max(block, fwd_block, sblock))
     posp = (
         jnp.zeros((n_pad, LANE), jnp.float32)
         .at[:n, :3]
@@ -1263,6 +1270,7 @@ def fused_slot_sdf_chain(
         rows=gspec.total_rows, pe_width=pw,
         geom=_make_geom(gspec, K, radius),
         fwd_block=fwd_block if fwd_block != block else 0,
+        scatter_block=sblock if sblock != block else 0,
         ablate=tuple(
             s for s in _os.environ.get("MMS_SLOT_ABLATE", "").split(",") if s
         ),
@@ -1321,7 +1329,12 @@ def _value_fwd_kernel(spec: SlotChainSpec, resid: bool, *refs):
     ws = refs[p : p + L]; bs = refs[p + L : p + 2 * L]; p += 2 * L
     sdf_ref = refs[p]; p += 1
     comp_ref = refs[p]; p += 1
-    zs_ref = refs[p] if (resid and L > 1) else None
+    zs_ref = x0_ref = None
+    if resid:
+        if L > 1:
+            zs_ref = refs[p]; p += 1
+        if spec.bwd_split:
+            x0_ref = refs[p]
 
     b = pos_ref.shape[0]
     idx, g, _ = _geom_rows(geom, spec.lv, pos_ref[:])
@@ -1339,6 +1352,8 @@ def _value_fwd_kernel(spec: SlotChainSpec, resid: bool, *refs):
         axis=-1,
     )
     H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+    if x0_ref is not None:
+        x0_ref[:] = x0
     h = x0
     for l in range(L):
         if l in inner.skip:
@@ -1470,6 +1485,113 @@ def _value_bwd_kernel(spec: SlotChainSpec, *refs):
     )
 
 
+def _value_bwd_sample_kernel(spec: SlotChainSpec, *refs):
+    """Per-sample half of the value backward (split mode): reverse sweep
+    without weight-grad/table accumulation; emits gx, d_comp and the gz
+    stack for the XLA weight-grad dots."""
+    inner = spec.inner
+    L = inner.n_layers
+    K = spec.levels
+    geom = spec.geom
+    kf = K * geom.feats
+    pw = spec.pe_width
+    P0 = inner.in_dims[0]
+    DL = inner.out_dims[-1]
+    f, df, _ = _act_triple(inner)
+    dotv = _dot_b if geom.bf16 else _dot_hl
+    dotgv = _dotg_b if geom.bf16 else _dotg_hl
+
+    p = 0
+    pos_ref = refs[p]; p += 1
+    m_ref = refs[p]; p += 1
+    comp_ref = refs[p]; p += 1
+    gs_ref = refs[p]; p += 1
+    zs_ref = None
+    if L > 1:
+        zs_ref = refs[p]; p += 1
+    s_ref = refs[p]; p += 1
+    s2_ref = refs[p]; p += 1
+    p_ref = refs[p]; p += 1
+    ws = refs[p : p + L]; p += L
+    gx_ref = refs[p]; p += 1
+    dcomp_ref = refs[p]; p += 1
+    gzs_ref = refs[p]
+
+    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+
+    def zl(l):
+        return zs_ref[:, l * H : (l + 1) * H]
+
+    b = pos_ref.shape[0]
+    comp = comp_ref[:].astype(jnp.float32)
+    s_mat = s_ref[:]
+    p_mat = p_ref[:]
+    m = m_ref[:]
+    dn_t = (((1,), (1,)), ((), ()))
+
+    _, g, gate = _geom_rows(geom, spec.lv, pos_ref[:])
+    w, wa, dwa = _geom_weights(geom, g, order=1)
+    wexp = dotv(w, p_mat)
+    _, _, sin_p, cos_p = _enc_fwd(spec.encspec, pos_ref[:], want_t0=False)
+    wl = [ws[l][:] for l in range(L)]
+
+    gsdf = gs_ref[:]
+    gy = jnp.concatenate([gsdf[:, :1], jnp.zeros((b, DL - 1), jnp.float32)], axis=-1)
+
+    gx0 = jnp.zeros((b, P0), jnp.float32)
+    gh = gy
+    for l in reversed(range(L)):
+        gz = gh if l == L - 1 else gh * df(zl(l))
+        if l < L - 1:
+            gzs_ref[:, l * H : (l + 1) * H] = gz.astype(jnp.bfloat16)
+        gzb = gz.astype(jnp.bfloat16)
+        ghp = jax.lax.dot_general(
+            gzb, wl[l], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if l in inner.skip:
+            hw = inner.in_dims[l] - P0
+            gh = ghp[:, :hw] / np.sqrt(2.0)
+            gx0 = gx0 + ghp[:, hw:] / np.sqrt(2.0)
+        else:
+            gh = ghp
+    ghin = gh + gx0
+
+    g_enc = ghin[:, pw : pw + kf] * m
+    gt0 = dotgv(g_enc, s_mat, dn_t)
+    dcomp_ref[:] = (gt0 * wexp).astype(dcomp_ref.dtype)
+    d_w = dotv(comp * gt0, s2_ref[:])
+    gpos = _fold_pos_cotangent(geom, g, gate, wa, dwa, None, d_w, None)
+    gx_ref[:] = _enc_jt(spec.encspec, sin_p, cos_p, ghin[:, :pw]) + jnp.concatenate(
+        gpos + [jnp.zeros((b, LANE - 3), jnp.float32)], axis=-1
+    )
+
+
+def _value_wgrads_xla(inner: ChainSpec, x0, zs, gy, gzs):
+    """First-order weight/bias grads from the value-kernel stacks."""
+    L = inner.n_layers
+    H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
+    f, _, _ = _act_triple(inner)
+    dn_acc = (((0,), (0,)), ((), ()))
+    inv_s2 = 1.0 / np.sqrt(2.0)
+    gws, gbs = [], []
+    for l in range(L):
+        h = x0 if l == 0 else f(
+            zs[:, (l - 1) * H : l * H].astype(jnp.float32)
+        ).astype(jnp.bfloat16)
+        hin = (
+            jnp.concatenate([h, x0], axis=-1) * inv_s2 if l in inner.skip else h
+        ).astype(jnp.bfloat16)
+        gz = gy if l == L - 1 else gzs[:, l * H : (l + 1) * H].astype(jnp.float32)
+        gw = jax.lax.dot_general(
+            hin, gz.astype(jnp.bfloat16), dimension_numbers=dn_acc,
+            preferred_element_type=jnp.float32,
+        )
+        gws.append(gw)
+        gbs.append(jnp.sum(gz, axis=0, keepdims=True))
+    return tuple(gws), tuple(gbs)
+
+
 @functools.lru_cache(maxsize=None)
 def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     inner = spec.inner
@@ -1499,10 +1621,16 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     comp_dtype = jnp.bfloat16 if bf16 else jnp.float32
     H = inner.out_dims[0] if L > 1 else inner.out_dims[-1]
     P0 = inner.in_dims[0]
+    split = spec.bwd_split and L > 1
     resid_specs = [blk((Bf, (L - 1) * H))] if L > 1 else []
     resid_shapes = (
         [jax.ShapeDtypeStruct((n_total, (L - 1) * H), jnp.bfloat16)] if L > 1 else []
     )
+    if split:
+        resid_specs = resid_specs + [blk((Bf, P0))]
+        resid_shapes = resid_shapes + [
+            jax.ShapeDtypeStruct((n_total, P0), jnp.bfloat16)
+        ]
 
     def make_fwd(resid):
         return pl.pallas_call(
@@ -1522,6 +1650,39 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
         )
 
     fwd_lite, fwd_call = make_fwd(False), make_fwd(True)
+
+    if split:
+        dcomp_dtype = jnp.bfloat16 if bf16 else jnp.float32
+        b1_call = pl.pallas_call(
+            functools.partial(_value_bwd_sample_kernel, spec),
+            grid=grid,
+            in_specs=[pos_spec, m_spec, comp_spec, sdf_spec]
+            + [blk((B, (L - 1) * H))]
+            + [s_spec, s2_spec, p_spec] + w_specs,
+            out_specs=[
+                blk((B, LANE)),
+                blk((B, K * LANE)),
+                blk((B, (L - 1) * H)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_total, LANE), jnp.float32),
+                jax.ShapeDtypeStruct((n_total, K * LANE), dcomp_dtype),
+                jax.ShapeDtypeStruct((n_total, (L - 1) * H), jnp.bfloat16),
+            ],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
+        Bs = spec.scatter_block or B
+        assert n_total % Bs == 0
+        scat_call = pl.pallas_call(
+            functools.partial(_bwd_scatter_kernel, spec),
+            grid=(n_total // Bs,),
+            in_specs=[blk((Bs, LANE)), blk((Bs, K * LANE))],
+            out_specs=[tbl_spec],
+            out_shape=[jax.ShapeDtypeStruct((spec.rows, LANE), jnp.float32)],
+            compiler_params=_compiler_params(),
+            interpret=interpret,
+        )
 
     bwd_call = pl.pallas_call(
         functools.partial(_value_bwd_kernel, spec),
@@ -1579,16 +1740,31 @@ def _build_value(spec: SlotChainSpec, n_total: int, interpret: bool):
     def op_bwd(res, gsdf):
         pos, mask, comp, resid, wps, bps = res
         wbs = [x.astype(jnp.bfloat16) for x in wps]
-        with jax.default_matmul_precision("bfloat16"):
-            outs = bwd_call(
-                pos, mask, comp, gsdf.astype(jnp.float32), *resid,
-                jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
-                *wbs, *bps,
-            )
         L = inner.n_layers
-        gx, d_tbl = outs[0], outs[1]
-        gws = tuple(outs[2 : 2 + L])
-        gbs = tuple(outs[2 + L : 2 + 2 * L])
+        gsdf32 = gsdf.astype(jnp.float32)
+        with jax.default_matmul_precision("bfloat16"):
+            if split:
+                zs, x0 = resid
+                gx, d_comp, gzs = b1_call(
+                    pos, mask, comp, gsdf32, zs,
+                    jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm), *wbs,
+                )
+                (d_tbl,) = scat_call(pos, d_comp)
+                DL = inner.out_dims[-1]
+                gy = jnp.concatenate(
+                    [gsdf32[:, :1], jnp.zeros((gsdf.shape[0], DL - 1), jnp.float32)],
+                    axis=-1,
+                )
+                gws, gbs = _value_wgrads_xla(inner, x0, zs, gy, gzs)
+            else:
+                outs = bwd_call(
+                    pos, mask, comp, gsdf32, *resid,
+                    jnp.asarray(s1m), jnp.asarray(s2m), jnp.asarray(pm),
+                    *wbs, *bps,
+                )
+                gx, d_tbl = outs[0], outs[1]
+                gws = tuple(outs[2 : 2 + L])
+                gbs = tuple(outs[2 + L : 2 + 2 * L])
         d_mask = jnp.zeros((1, kf), jnp.float32)
         return gx, d_mask, d_tbl, gws, gbs
 
@@ -1638,6 +1814,7 @@ def fused_slot_sdf_value(
         fwd_block = (
             int(_os.environ.get("MMS_SLOT_FWD_BLOCK", "0")) or DEFAULT_FWD_BLOCK or block
         )
+    sblock = int(_os.environ.get("MMS_SLOT_SCATTER_BLOCK", "0")) or block
     n = positions.shape[0]
     K = (
         gspec.num_levels
@@ -1649,7 +1826,7 @@ def fused_slot_sdf_value(
     d_in = pw + gspec.num_levels * gspec.feats  # full MLP input width (all levels)
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
-    n_pad = _rup(n, max(block, fwd_block))
+    n_pad = _rup(n, max(block, fwd_block, sblock))
     posp = (
         jnp.zeros((n_pad, LANE), jnp.float32)
         .at[:n, :3]
@@ -1677,6 +1854,9 @@ def fused_slot_sdf_value(
         rows=gspec.total_rows, pe_width=pw,
         geom=_make_geom(gspec, K, radius),
         fwd_block=fwd_block if fwd_block != block else 0,
+        scatter_block=sblock if sblock != block else 0,
+        bwd_split=_os.environ.get("MMS_SLOT_BWD_SPLIT", "0") == "1"
+        and len(out_dims) > 1,
     )
 
     wps = tuple(
