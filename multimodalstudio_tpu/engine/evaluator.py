@@ -185,9 +185,16 @@ class Evaluator:
         """Render + score every eval view of every modality
         (reference evaluator.py:283-316)."""
         results: Dict[str, Dict[str, float]] = {}
+        # MMS_EVAL_MAX_VIEWS caps the per-modality view count so large-scene
+        # ladder arms can afford a *comparable* held-out eval (same first-K
+        # eval views for every arm); unset = reference behavior (all views).
+        max_views = int(os.environ.get("MMS_EVAL_MAX_VIEWS", "0"))
         for mod in self.eval_dataset.modalities:
             vals = []
-            for fi in range(self.eval_dataset.num_frames(mod)):
+            n_frames = self.eval_dataset.num_frames(mod)
+            if max_views > 0:
+                n_frames = min(n_frames, max_views)
+            for fi in range(n_frames):
                 frames = self.render_view(state, self.eval_dataset, mod, fi)
                 vals.append(self.view_metrics(frames, mod))
                 if self.output_dir is not None:
