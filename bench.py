@@ -7,12 +7,13 @@ background samples, raw mosaicked frames) using the fused device-cached
 training loop. Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Default method: `mlp_raw_tpu` — the recommended TPU training recipe (pure-MLP
-fields are all-MXU; on the synthetic quality harness it exceeds the
-hash-grid recipe's PSNR, see PLAN.md). Set BENCH_METHOD=grid_raw_tpu to
-measure the slot-hash-grid flagship instead (fully-fused Pallas grid+MLP
-kernels with in-kernel geometry, ops/pallas/slot_fused.py), BENCH_RAYS /
-BENCH_MICROBATCH to vary batch geometry.
+Default method: `grid_raw_tpu` — the slot-hash-grid flagship (fully-fused
+Pallas grid+MLP kernels with in-kernel geometry, ops/pallas/slot_fused.py,
+packed bf16 table promoted r5). It is the only architecture whose FLOP
+ceiling clears the 2M rays/s target (docs/performance.md §2 caps the
+pure-MLP method at ~280K) and since the r5 packed promotion it is also the
+measured-faster method. Set BENCH_METHOD=mlp_raw_tpu for the pure-MLP
+recipe, BENCH_RAYS / BENCH_MICROBATCH to vary batch geometry.
 Baseline target: 2,000,000 rays/sec/chip on TPU v5e (BASELINE.md).
 """
 
@@ -40,7 +41,7 @@ def main():
     n_rays = 2048  # reference training batch: 2048 rays/modality (BASELINE.md)
     steps_per_call = 5  # dispatches per measurement; program is K=1
 
-    method = os.environ.get("BENCH_METHOD", "mlp_raw_tpu")
+    method = os.environ.get("BENCH_METHOD", "grid_raw_tpu")
     n_rays = int(os.environ.get("BENCH_RAYS", n_rays))
     micro = int(os.environ.get("BENCH_MICROBATCH", "512"))
     cfg = method_configs()[method]

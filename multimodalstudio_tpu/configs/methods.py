@@ -357,16 +357,23 @@ def _grid_raw_tpu() -> TrainerConfig:
     # than exact vertex hashing (the v5e copy-issue roofline, slot_grid.py
     # docstring) AND measured better on the 1500-step harness (cell
     # 41.2/39.5 dB vs vertex 37.5/34.5 rgb/mono, qc_grid_{cell,vertex}_r3).
-    # rows_per_level=512: the measured quality AND speed optimum of the r3
-    # rows ladder (512: 45.0/42.5 dB; 1024: 41.8/40.1; 2048: 41.2/39.5;
-    # 256: 40.9/38.5 — qc_grid_rows{256,512,1024}_r3.json) — smaller
-    # tables both halve the one-hot matmul cost and regularize the hashed
-    # fine levels.
+    # PACKED table (r5 promotion, VERDICT r4 #1): 4096 entries/level at
+    # F=2 feats/entry packs P=8 hash entries per 128-lane row, cutting the
+    # one-hot gather/scatter MACs 8x per entry; bf16 table dots halve them
+    # again (tcnn's fp16-table design point, reference
+    # encodings.py:48-67). Promotion gate: the 20K-step capacity ladder on
+    # the 512px high-frequency scene (cap_packed6 vs cap_base6, identical
+    # 3-view held-out eval) — packed6 wins ALL five modalities (+0.35 to
+    # +0.81 dB PSNR, SSIM higher everywhere) at 8x the entry budget AND
+    # trains 28% faster (102.3K vs 79.9K rays/s sustained in the arm
+    # runs). The r3 512-row optimum was an artifact of the unpacked
+    # table's MAC cost scaling with rows; packed rows are nearly free
+    # (docs/performance.md §3e-3f).
     grid_ad = dc.replace(
         sf.field.grid,
         encoding=SlotGridSpec(
-            num_levels=6, min_res=16, max_res=512, rows_per_level=512,
-            layout="cell",
+            num_levels=6, min_res=16, max_res=512, rows_per_level=4096,
+            layout="cell", feats=2, table_dtype="bf16",
         ),
     )
     surface = dc.replace(

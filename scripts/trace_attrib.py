@@ -59,6 +59,8 @@ def main():
 
     by_op = defaultdict(float)
     by_cat = defaultdict(float)
+    by_src = defaultdict(float)
+    big = defaultdict(float)  # individual fusions, un-merged (name + shape)
     total = 0.0
     for name, dur, args in rows:
         total += dur
@@ -67,6 +69,12 @@ def main():
         short = re.sub(r"[.\d]+$", "", name)
         by_op[key] += dur
         by_cat[short] += dur
+        src = args.get("source") or ""
+        if src:
+            by_src[src] += dur
+        ln = args.get("long_name") or ""
+        shape = ln.split(" ", 1)[0] if ln else ""
+        big[f"{name} {shape} @{src}"] += dur
 
     print(f"total device-event time: {total/1e3:.2f} ms over {len(rows)} events")
     print("\n== by event name (coarse) ==")
@@ -75,6 +83,12 @@ def main():
     print("\n== by tf_op ==")
     for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])[:top_n]:
         print(f"{v/1e3:10.2f} ms  {100*v/total:5.1f}%  {k[:140]}")
+    print("\n== by source line ==")
+    for k, v in sorted(by_src.items(), key=lambda kv: -kv[1])[:top_n]:
+        print(f"{v/1e3:10.2f} ms  {100*v/total:5.1f}%  {k[:140]}")
+    print("\n== top individual ops (name+shape+src) ==")
+    for k, v in sorted(big.items(), key=lambda kv: -kv[1])[:top_n]:
+        print(f"{v/1e3:10.2f} ms  {100*v/total:5.1f}%  {k[:170]}")
 
 
 if __name__ == "__main__":
