@@ -1053,6 +1053,20 @@ def _chain_geometry(d_in: int, weights: Sequence[jnp.ndarray], skip: Tuple[int, 
     return tuple(in_dims), tuple(out_dims), p0, hidden
 
 
+def _pad_operand(x, rows, cols, dtype):
+    """Zero-pad a [n, d] array to (rows, cols) with an XLA Pad op.
+
+    The `zeros().at[:n, :d].set(x)` idiom lowers to scatter /
+    dynamic-update-slice — the r5 packed trace shows ~4 ms/step of such
+    scatters across the kernel-operand builds (r5logs/attrib_r5b.txt,
+    jvp(*)/scatter rows). lax.pad is the cheap, fusible lowering."""
+    x = x.astype(dtype)
+    pr, pc = rows - x.shape[0], cols - x.shape[1]
+    if pr == 0 and pc == 0:
+        return x
+    return jnp.pad(x, ((0, pr), (0, pc)))
+
+
 def _pad_weight(w, l, din, dout, d_in, hidden, skip):
     wp = jnp.zeros((din, dout), jnp.float32)
     if l in skip:
@@ -1097,12 +1111,12 @@ def fused_chain(
     k = 0 if tangents is None else tangents.shape[0]
 
     n_pad = _rup(n, block)
-    xp = jnp.zeros((n_pad, p0), jnp.bfloat16).at[:n, :d_in].set(x.astype(jnp.bfloat16))
+    xp = _pad_operand(x, n_pad, p0, jnp.bfloat16)
     txp = None
     if k:
-        txp = (
-            jnp.zeros((k, n_pad, p0), jnp.bfloat16)
-            .at[:, :n, :d_in].set(tangents.astype(jnp.bfloat16))
+        txp = jnp.pad(
+            tangents.astype(jnp.bfloat16),
+            ((0, 0), (0, n_pad - n), (0, p0 - d_in)),
         )
     wps = tuple(
         _pad_weight(w, l, din, dout, d_in, hidden, skip)
@@ -1170,10 +1184,7 @@ def fused_sdf_chain(
     d_out = weights[-1].shape[1]
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
     n_pad = _rup(n, block)
-    xp = (
-        jnp.zeros((n_pad, LANE), jnp.float32)
-        .at[:n, :3].set(positions.astype(jnp.float32))
-    )
+    xp = _pad_operand(positions, n_pad, LANE, jnp.float32)
     wps = tuple(
         _pad_weight(w, l, din, dout, d_in, hidden, skip)
         for l, (w, din, dout) in enumerate(zip(weights, in_dims, out_dims))
@@ -1228,7 +1239,7 @@ def fused_chain_adjoint(
     d_out = weights[-1].shape[1]
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
     n_pad = _rup(n, block)
-    xp = jnp.zeros((n_pad, p0), jnp.bfloat16).at[:n, :d_in].set(x.astype(jnp.bfloat16))
+    xp = _pad_operand(x, n_pad, p0, jnp.bfloat16)
     wps = tuple(
         _pad_weight(w, l, din, dout, d_in, hidden, skip)
         for l, (w, din, dout) in enumerate(zip(weights, in_dims, out_dims))

@@ -66,6 +66,7 @@ from multimodalstudio_tpu.ops.pallas.fused_mlp import (
     _enc_consts,
     _enc_fwd,
     _enc_jt,
+    _pad_operand,
     _pad_weight,
     _rup,
 )
@@ -1242,11 +1243,7 @@ def fused_slot_sdf_chain(
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
     n_pad = _rup(n, max(block, fwd_block, sblock))
-    posp = (
-        jnp.zeros((n_pad, LANE), jnp.float32)
-        .at[:n, :3]
-        .set(positions.astype(jnp.float32))
-    )
+    posp = _pad_operand(positions, n_pad, LANE, jnp.float32)
     mask = (
         jnp.ones((1, kf), jnp.float32)
         if level_mask is None
@@ -1827,11 +1824,7 @@ def fused_slot_sdf_value(
     in_dims, out_dims, p0, hidden = _chain_geometry(d_in, weights, skip)
 
     n_pad = _rup(n, max(block, fwd_block, sblock))
-    posp = (
-        jnp.zeros((n_pad, LANE), jnp.float32)
-        .at[:n, :3]
-        .set(positions.astype(jnp.float32))
-    )
+    posp = _pad_operand(positions, n_pad, LANE, jnp.float32)
     mask = (
         jnp.ones((1, kf), jnp.float32)
         if level_mask is None
