@@ -74,30 +74,12 @@ class RaySamples:
 
     def start_positions(self) -> jnp.ndarray:
         """[N, S, 3] frustum start points (reference rays.py:69-81)."""
-        return ray_points(self.origins, self.directions, self.starts)
+        return self.origins[:, None, :] + self.directions[:, None, :] * self.starts[..., None]
 
     def mid_positions(self) -> jnp.ndarray:
         """[N, S, 3] frustum centers (reference rays.py:54-63)."""
-        return ray_points(self.origins, self.directions, (self.starts + self.ends) * 0.5)
-
-
-def ray_points(
-    origins: jnp.ndarray, directions: jnp.ndarray, t: jnp.ndarray
-) -> jnp.ndarray:
-    """o + d*t per COORDINATE, stacked once -> [N, S, 3].
-
-    The broadcast form `o[:, None, :] + d[:, None, :] * t[..., None]` makes
-    every intermediate (and every backward reduce) a [N, S, 3] tensor whose
-    minor dim tiles to 128 lanes (42x pad); its transpose reductions were
-    ~3.7 ms/step in the r5 packed trace (r5logs/attrib_r5b.txt,
-    rays.py:77). Computing the three coordinates as dense [N, S] arrays
-    keeps all math and all autodiff reductions lane-dense; the single
-    stack at the end is the one padded materialization the consumer
-    (the kernels' flat [M, 3] position operand) needs anyway."""
-    comps = [
-        origins[:, c, None] + directions[:, c, None] * t for c in range(3)
-    ]
-    return jnp.stack(comps, axis=-1)
+        mids = (self.starts + self.ends) * 0.5
+        return self.origins[:, None, :] + self.directions[:, None, :] * mids[..., None]
 
 
 def samples_from_bins(

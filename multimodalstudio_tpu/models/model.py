@@ -68,11 +68,7 @@ from multimodalstudio_tpu.models.samplers import (
     spaced_sampling,
 )
 from multimodalstudio_tpu.models.volume_rendering import neus_weights
-from multimodalstudio_tpu.ops.encodings import (
-    sh_encoding,
-    sh_encoding_dense,
-    sh_encoding_dense_xyz,
-)
+from multimodalstudio_tpu.ops.encodings import sh_encoding, sh_encoding_dense
 from multimodalstudio_tpu.ops.math import scene_contraction
 
 
@@ -865,35 +861,24 @@ class MMSModel:
         pos = samples.start_positions().reshape(-1, 3)
         if spec.contraction_order is not None:
             pos = scene_contraction(pos, spec.contraction_order)
-        # Direction/normal math runs per COORDINATE on dense [M] vectors —
-        # [M, 3] tensors tile to 128 lanes (42x pad) and this block's
-        # broadcast/dot/FMA chain measured ~2.6 ms/step in the r5 trace
-        # (r5logs/attrib_r5b.txt, model.py:876). The padded [M, 3] dirs/ups
-        # the heads consume are stacked exactly once at the end.
-        dc = [
-            jnp.broadcast_to(samples.directions[:, c, None], (n, s)).reshape(-1)
-            for c in range(3)
-        ]
-        nrm = jax.lax.stop_gradient(normals)
-        nc = [nrm[..., c].reshape(-1) for c in range(3)]
-        dirs = jnp.stack(dc, axis=-1)
+        dirs = jnp.broadcast_to(samples.directions[:, None, :], (n, s, 3)).reshape(-1, 3)
         ups = jnp.broadcast_to(samples.up_directions[:, None, :], (n, s, 3)).reshape(-1, 3)
+        nrm = jax.lax.stop_gradient(normals.reshape(-1, 3))
         geo_flat = geo.reshape(-1, geo.shape[-1])
 
-        ndv = -(nc[0] * dc[0] + nc[1] * dc[1] + nc[2] * dc[2])  # [M]
+        n_dot_v = jnp.sum(nrm * -dirs, axis=-1, keepdims=True)
         extras = [geo_flat]
         if spec.use_n_dot_v:
-            extras.append(ndv[:, None])
+            extras.append(n_dot_v)
 
-        dir_comps = dc
+        dir_input = dirs
         if spec.use_reflection_direction:
-            dir_comps = [2.0 * (ndv * nc[c]) + dc[c] for c in range(3)]
+            dir_input = 2.0 * (n_dot_v * nrm) + dirs
         if spec.use_direction_encoding:
-            dir_input = sh_encoding_dense_xyz(*dir_comps, spec.sh_degree)
-        else:
-            dir_input = (
-                dirs if dir_comps is dc else jnp.stack(dir_comps, axis=-1)
-            )
+            # dense monomial-matmul SH: numerically equal to the closed
+            # form but avoids 25 [N, 1] column ops that tile to 128 lanes
+            # each on TPU (~8 ms/step profiled)
+            dir_input = sh_encoding_dense(dir_input, spec.sh_degree)
 
         feature = self.radiance_field.apply(
             {"params": params["radiance_field"]},

@@ -19,7 +19,6 @@ import jax.numpy as jnp
 from multimodalstudio_tpu.core.rays import (
     RayBundle,
     RaySamples,
-    ray_points,
     samples_from_bins,
     weights_from_alphas,
 )
@@ -261,7 +260,7 @@ def neus_sampling(
 
     def eval_sdf_at(spacing_starts: jnp.ndarray) -> jnp.ndarray:
         e = spacing_to_euclidean(spacing_starts, rays.nears, rays.fars, "uniform")
-        pos = ray_points(rays.origins, rays.directions, e)
+        pos = rays.origins[:, None, :] + rays.directions[:, None, :] * e[..., None]
         return jax.lax.stop_gradient(sdf_fn(pos))
 
     sdf = eval_sdf_at(bins[:, :-1])  # [N, S]

@@ -99,53 +99,29 @@ def _sh_dense_coeffs(levels: int):
 
 
 def sh_encoding_dense(directions: jnp.ndarray, degree: int) -> jnp.ndarray:
-    """SH via a single dense monomial design matrix + one matmul.
+    """SH via dense monomial outer products + small matmuls.
 
     Numerically equal to `sh_encoding` for unit directions (fit residual
-    ~1e-7), but TPU-friendly. The closed form builds every component as a
-    separate [N, 1] column — 25 latency-bound 128-lane-padded ops (r2
-    profile ~8 ms). The r2 rewrite used four outer-product tensors + four
-    matmuls, but its [N, 3, 3]/[N, 9]/[N, 27] intermediates still tile to
-    (8, 128) vregs (up to 42x pad) and showed up as ~6.7 ms/step of
-    fusion+copy time in the r5 packed-point trace (r5logs/attrib_r5b.txt,
-    encodings.py:114-122). Here every monomial is a DENSE rank-1 [N]
-    vector (products fuse into the stack consumer), stacked ONCE into a
-    [N, 121] design matrix — 121 columns pad to exactly 128 lanes — and
-    the basis change is one matmul against the stacked [121, F]
-    coefficient matrix. The reference's tcnn SH runs in fp16
-    (encodings.py:368-392); operands here stay f32 (bf16 buys nothing
-    once the intermediates are gone — the matmul is tiny)."""
+    ~1e-7), but TPU-friendly: the closed form builds every component as a
+    separate [N, 1] column, and on TPU each such column tiles to 128 lanes
+    — 25 latency-bound padded ops per step (profiled ~8 ms). Here the
+    monomials are four dense outer-product tensors and the basis change is
+    four lane-friendly matmuls."""
+    c0, c1, c2, c3, c4 = _sh_dense_coeffs(degree + 1)
     d = directions
     lead = d.shape[:-1]
     d = d.reshape(-1, 3)
-    out = sh_encoding_dense_xyz(d[:, 0], d[:, 1], d[:, 2], degree)
-    return out.reshape(*lead, -1)
-
-
-def sh_encoding_dense_xyz(
-    x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray, degree: int
-) -> jnp.ndarray:
-    """Component form of `sh_encoding_dense`: three [N] vectors -> [N, F].
-
-    Callers that already hold per-coordinate vectors (the radiance
-    direction path) avoid materializing a padded [N, 3] just to slice it
-    back apart."""
-    c0, c1, c2, c3, c4 = _sh_dense_coeffs(degree + 1)
-    cmat = jnp.concatenate(
-        [jnp.asarray(c) for c in (c0, c1, c2, c3, c4)], axis=0
-    )  # [121, F]
-    m1 = [x, y, z]
-    # row-major outer-product orders match the lstsq design in
-    # _sh_dense_coeffs: m2[i*3+j] = d_i d_j, m3[p*3+k] = m2_p d_k, ...
-    m2 = [a * b for a in m1 for b in m1]
-    m3 = [a * b for a in m2 for b in m1]
-    m4 = [a * b for a in m3 for b in m1]
-    design = jnp.stack([jnp.ones_like(x)] + m1 + m2 + m3 + m4, axis=-1)
-    return jax.lax.dot_general(
-        design, cmat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    m2 = (d[:, :, None] * d[:, None, :]).reshape(-1, 9)
+    m3 = (m2[:, :, None] * d[:, None, :]).reshape(-1, 27)
+    m4 = (m3[:, :, None] * d[:, None, :]).reshape(-1, 81)
+    out = (
+        jnp.asarray(c0)[0]
+        + d @ jnp.asarray(c1)
+        + m2 @ jnp.asarray(c2)
+        + m3 @ jnp.asarray(c3)
+        + m4 @ jnp.asarray(c4)
     )
+    return out.reshape(*lead, -1)
 
 
 @dataclasses.dataclass(frozen=True)
